@@ -1,0 +1,22 @@
+"""Model architectures. Importing this package registers all archs."""
+from codeformer_tpu.utils.registry import ARCH_REGISTRY
+
+from .vqgan import (Encoder, Generator, GumbelQuantizer, VectorQuantizer,
+                    VQAutoEncoder, VQGANDiscriminator)
+from .codeformer import CodeFormer
+
+
+def build_network(opt: dict):
+    """Instantiate an arch from a config dict with a `type:` key.
+
+    Mirrors the reference factory (basicsr/archs/__init__.py:19-25).
+    """
+    opt = dict(opt)
+    network_type = opt.pop('type')
+    return ARCH_REGISTRY.get(network_type)(**opt)
+
+
+__all__ = [
+    'Encoder', 'Generator', 'VectorQuantizer', 'GumbelQuantizer',
+    'VQAutoEncoder', 'VQGANDiscriminator', 'CodeFormer', 'build_network',
+]

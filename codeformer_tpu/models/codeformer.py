@@ -1,0 +1,126 @@
+"""CodeFormer — codebook-lookup Transformer with controllable feature
+transformation, TPU-native.
+
+Behavioral spec: reference basicsr/archs/codeformer_arch.py:160-280.
+Differences by design (not behavior):
+  * NHWC end to end; the 256-token path is batch-major (B, S, C).
+  * `w` (fidelity weight) is a traced scalar — one compiled graph serves any
+    w in (0, 1]; the `w > 0` structural gate of the reference is the static
+    `enable_fuse` flag (the reference's gate is python-side too).
+  * Code selection is argmax over logits — identical selection to the
+    reference's softmax→top-1 (softmax is monotonic), one less kernel.
+  * Encoder taps / generator fuse points are computed at construction and
+    verified against the reference's hardcoded tables in tests
+    (codeformer_arch.py:204-206).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from codeformer_tpu.nn.blocks import (FuseSftBlock,
+                                      adaptive_instance_normalization)
+from codeformer_tpu.nn.transformer import TransformerSALayer
+from codeformer_tpu.utils.registry import ARCH_REGISTRY
+from .vqgan import VQAutoEncoder
+
+
+@ARCH_REGISTRY.register()
+class CodeFormer(VQAutoEncoder):
+    """VQAutoEncoder + 9-layer transformer index predictor + SFT fusion.
+
+    Inherited backbone defaults match the reference's fixed super() call
+    (codeformer_arch.py:166): img_size 512, nf 64, ch_mult (1,2,2,4,4,8),
+    nearest quantizer, 2 res blocks, attention at 16.
+    """
+    dim_embd: int = 512
+    n_head: int = 8
+    n_layers: int = 9
+    latent_size: int = 256
+    connect_list: Sequence[str] = ('32', '64', '128', '256')
+
+    def setup(self):
+        self._build_backbone()
+
+        self.position_emb = self.param(
+            'position_emb', nn.initializers.zeros,
+            (self.latent_size, self.dim_embd), jnp.float32)
+        self.feat_emb = nn.Dense(self.dim_embd, dtype=self.dtype)
+
+        self.ft_layers = [
+            TransformerSALayer(embed_dim=self.dim_embd, nhead=self.n_head,
+                               dim_mlp=self.dim_embd * 2, dtype=self.dtype)
+            for _ in range(self.n_layers)
+        ]
+
+        # logits head (reference idx_pred_layer: LayerNorm + biasless Linear)
+        self.idx_pred_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.idx_pred_proj = nn.Dense(self.codebook_size, use_bias=False,
+                                      dtype=self.dtype)
+
+        # channel widths at each connectable feature size
+        nf, ch_mult = self.nf, tuple(self.ch_mult)
+        n_stage = len(ch_mult)
+        self.channels = {
+            str(self.img_size // 2 ** s): nf * ch_mult[min(s, n_stage - 1)]
+            for s in range(n_stage)
+        }
+        self.fuse_convs_dict = {
+            f_size: FuseSftBlock(self.channels[f_size],
+                                 self.channels[f_size], dtype=self.dtype)
+            for f_size in self.connect_list
+        }
+
+    def __call__(self, x: jax.Array, w: jax.Array | float = 0.0,
+                 detach_16: bool = True, code_only: bool = False,
+                 adain: bool = False,
+                 enable_fuse: bool = True) -> Tuple[jax.Array, ...]:
+        """x: (B, H, W, 3) normalized to [-1, 1].
+
+        Returns (out, logits, lq_feat); or (logits, lq_feat) if code_only.
+        `enable_fuse` is the static analog of the reference's `w > 0` gate —
+        pass False to skip SFT fusion entirely (e.g. colorization, w=0).
+        """
+        # ---------------- Encoder with feature taps ----------------
+        tap_by_size = self.encoder.tap_by_size
+        tap_indices = [tap_by_size[s] for s in self.connect_list]
+        x, enc_feat_dict = self.encoder(x, tap_indices)
+        lq_feat = x  # (B, h, w, emb_dim)
+
+        # ---------------- Transformer over latent tokens ----------------
+        b, h, wdt, c = lq_feat.shape
+        tokens = self.feat_emb(lq_feat.reshape(b, h * wdt, c))
+        pos = self.position_emb[None].astype(tokens.dtype)
+        query = tokens
+        for layer in self.ft_layers:
+            query = layer(query, query_pos=pos)
+
+        logits = self.idx_pred_proj(self.idx_pred_norm(query))  # (B, S, K)
+
+        if code_only:  # training stage II
+            return logits, lq_feat
+
+        # ---------------- Quantization (argmax code selection) -----------
+        top_idx = jnp.argmax(logits, axis=-1)  # == softmax→top-1
+        quant_feat = self.quantize.get_codebook_feat(
+            top_idx, shape=(b, h, wdt, self.emb_dim)).astype(lq_feat.dtype)
+
+        if detach_16:
+            quant_feat = jax.lax.stop_gradient(quant_feat)
+        if adain:
+            quant_feat = adaptive_instance_normalization(quant_feat, lq_feat)
+
+        # ---------------- Generator with SFT fusion ----------------------
+        fuse_fns = {}
+        if enable_fuse:
+            gen_taps = self.generator.tap_by_size
+            for f_size in self.connect_list:
+                fuse = self.fuse_convs_dict[f_size]
+                enc = jax.lax.stop_gradient(enc_feat_dict[f_size])
+                fuse_fns[gen_taps[f_size]] = (
+                    lambda dec, fuse=fuse, enc=enc: fuse(enc, dec, w))
+        out = self.generator(quant_feat, fuse_fns=fuse_fns)
+        return out, logits, lq_feat
