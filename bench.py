@@ -22,10 +22,11 @@ def main():
     import jax.numpy as jnp
     from codeformer_tpu.models import CodeFormer
 
+    from codeformer_tpu.utils.checkpoint import init_params_fast
     model = CodeFormer(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, 512, 512, 3), jnp.bfloat16),
-                           0.5)
+    variables = jax.device_put(init_params_fast(
+        model, jnp.zeros((1, 512, 512, 3), jnp.bfloat16), 0.5))
 
     # NOTE: the result is reduced to a scalar and fetched each call.
     # block_until_ready() does NOT actually block over the axon TPU tunnel

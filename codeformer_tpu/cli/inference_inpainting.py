@@ -1,0 +1,78 @@
+"""Face inpainting CLI — parity with reference inference_inpainting.py:
+512x512 aligned faces with pure-white masked regions; codebook_size 512,
+connect ['32','64','128'], w=1, adain=False; output composited as
+(1-mask)*input + mask*output.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import cv2
+import numpy as np
+
+from codeformer_tpu.pipeline import CodeFormerRestorer
+from codeformer_tpu.utils import img_util
+from .common import list_inputs, resolve_checkpoint
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument('-i', '--input_path', type=str,
+                   default='./inputs/masked_faces',
+                   help='Input image or folder. Default: inputs/masked_faces')
+    p.add_argument('-o', '--output_path', type=str, default=None,
+                   help='Output folder. Default: results/<input_name>')
+    p.add_argument('--suffix', type=str, default=None,
+                   help='Suffix of the restored faces. Default: None')
+    p.add_argument('--checkpoint', type=str, default=None)
+    p.add_argument('--random-init', action='store_true')
+    p.add_argument('--batch', type=int, default=8)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    print('[NOTE] The input face images should be aligned and cropped to a '
+          'resolution of 512x512.')
+    input_img_list, result_root, _ = list_inputs(
+        args.input_path, None, default_root='test_inpainting_img')
+    if args.output_path is not None:
+        result_root = args.output_path
+    if not input_img_list:
+        raise FileNotFoundError('No input image is found.')
+
+    ckpt = resolve_checkpoint(args.checkpoint, 'inpainting',
+                              args.random_init)
+    restorer = CodeFormerRestorer(
+        checkpoint=ckpt, dim_embd=512, codebook_size=512, n_head=8,
+        n_layers=9, connect_list=('32', '64', '128'),
+        batch_buckets=(1, 2, 4, args.batch))
+
+    faces, names = [], []
+    for i, img_path in enumerate(input_img_list):
+        print(f'[{i + 1}/{len(input_img_list)}] Processing: '
+              f'{os.path.basename(img_path)}')
+        img = cv2.imread(img_path)
+        assert img.shape[:2] == (512, 512), \
+            'Input resolution must be 512x512 for inpainting.'
+        faces.append(img)
+        names.append(os.path.splitext(os.path.basename(img_path))[0])
+
+    # w fixed to 1, adain off for inpainting (inference_inpainting.py:73)
+    restored = restorer.restore_batch(faces, w=1.0, adain=False)
+    for face, name, out in zip(faces, names, restored):
+        # mask = pure-white pixels of the input; keep input elsewhere
+        mask = (face == 255).all(axis=-1)[..., None].astype(np.float32)
+        comp = ((1.0 - mask) * face.astype(np.float32)
+                + mask * out.astype(np.float32))
+        comp = np.clip(comp, 0, 255).astype(np.uint8)
+        if args.suffix is not None:
+            name = f'{name}_{args.suffix}'
+        img_util.imwrite(comp, os.path.join(result_root, f'{name}.png'))
+
+    print(f'\nAll results are saved in {result_root}')
+
+
+if __name__ == '__main__':
+    main()

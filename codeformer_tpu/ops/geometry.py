@@ -1,0 +1,119 @@
+"""Batched on-device geometry ops: affine warps and similarity-transform
+estimation.
+
+Replaces the per-face cv2.warpAffine / cv2.estimateAffinePartial2D calls of
+the reference pipeline (facelib/utils/face_restoration_helper.py:319-361)
+with batched, jit-compiled XLA: one gather-based bilinear sampler handles
+both the crop (image -> 512x512 face) and the inverse paste-back warp.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def warp_affine(img: jax.Array, matrix: jax.Array,
+                out_hw: Tuple[int, int],
+                border_value=0.0) -> jax.Array:
+    """Bilinear affine warp of one NHWC image batch with per-item 2x3
+    matrices (cv2.warpAffine semantics: `matrix` maps SOURCE coords ->
+    DEST coords; we invert it internally like cv2 does without
+    WARP_INVERSE_MAP).
+
+    img: (B, H, W, C); matrix: (B, 2, 3); returns (B, out_h, out_w, C).
+    border: constant.
+    """
+    b = img.shape[0]
+    out_h, out_w = out_hw
+
+    # full 3x3 then invert: dest->source mapping
+    bottom = jnp.tile(jnp.asarray([[[0.0, 0.0, 1.0]]], matrix.dtype),
+                      (b, 1, 1))
+    m33 = jnp.concatenate([matrix, bottom], axis=1)
+    inv = jnp.linalg.inv(m33)[:, :2, :]  # (B, 2, 3)
+
+    ys, xs = jnp.meshgrid(jnp.arange(out_h, dtype=jnp.float32),
+                          jnp.arange(out_w, dtype=jnp.float32),
+                          indexing='ij')
+    ones = jnp.ones_like(xs)
+    dest = jnp.stack([xs, ys, ones], axis=-1).reshape(-1, 3)  # (P, 3)
+
+    src = jnp.einsum('bij,pj->bpi', inv, dest)  # (B, P, 2) = (x, y)
+    return _bilinear_sample(img, src[..., 0], src[..., 1],
+                            border_value).reshape(b, out_h, out_w,
+                                                  img.shape[-1])
+
+
+def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
+                     border_value=0.0) -> jax.Array:
+    """Sample img (B,H,W,C) at float coords x,y (B,P) with bilinear
+    interpolation and constant border."""
+    b, h, w, c = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yy, xx):
+        valid = ((xx >= 0) & (xx < w) & (yy >= 0) & (yy < h))[..., None]
+        xxc = jnp.clip(xx, 0, w - 1)
+        yyc = jnp.clip(yy, 0, h - 1)
+        vals = jax.vmap(lambda im, yv, xv: im[yv, xv])(img, yyc, xxc)
+        return jnp.where(valid, vals, border_value)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def estimate_similarity(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Least-squares similarity transform (scale+rotation+translation)
+    mapping src points to dst points — the cv2.estimateAffinePartial2D
+    analog used for 5-landmark alignment
+    (face_restoration_helper.py:335-337). With 5 clean landmark pairs the
+    LMEDS robustification of cv2 degenerates to this least-squares solve.
+
+    src, dst: (N, 2) float. Returns 2x3 matrix (numpy, host-side — the
+    solve is tiny and happens per detected face).
+    """
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    n = src.shape[0]
+    # Umeyama closed form with uniform scale
+    mu_s = src.mean(0)
+    mu_d = dst.mean(0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = dc.T @ sc / n
+    u, s, vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(u @ vt))
+    diag = np.diag([1.0, d])
+    r = u @ diag @ vt
+    var_s = (sc ** 2).sum() / n
+    scale = np.trace(np.diag(s) @ diag) / var_s
+    t = mu_d - scale * r @ mu_s
+    m = np.zeros((2, 3))
+    m[:, :2] = scale * r
+    m[:, 2] = t
+    return m
+
+
+def invert_affine(matrix: np.ndarray, upscale: float = 1.0) -> np.ndarray:
+    """Invert a 2x3 affine and scale translation for upsampled output
+    (cv2.invertAffineTransform + the x upscale of
+    face_restoration_helper.py:351-361)."""
+    m33 = np.vstack([matrix, [0.0, 0.0, 1.0]])
+    inv = np.linalg.inv(m33)[:2, :]
+    # the whole 2x3 scales: output coords grow by `upscale`
+    # (face_restoration_helper.py:357-361)
+    return inv * upscale

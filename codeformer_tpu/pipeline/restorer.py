@@ -1,0 +1,103 @@
+"""Batched aligned-face restoration — the jit-compiled core of the pipeline.
+
+Replaces the reference's per-face Python loop
+(inference_codeformer.py:197-213): faces are batched through ONE compiled
+graph (normalize -> CodeFormer -> denormalize, all on device) with bucketed
+batch sizes so every shape is static. The fidelity weight `w` is a traced
+scalar — no recompile per w.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codeformer_tpu.models import CodeFormer
+from codeformer_tpu.utils import img_util
+from codeformer_tpu.utils.checkpoint import init_params_fast, load_checkpoint
+from codeformer_tpu.utils.misc import setup_jax
+
+
+class CodeFormerRestorer:
+    """Loads weights and serves batched 512x512 aligned-face restoration.
+
+    Args mirror the reference CLI's network construction
+    (inference_codeformer.py:135-142): codebook_size / connect_list select
+    the restoration, colorization or inpainting variant.
+    """
+
+    def __init__(self, checkpoint: Optional[str] = None,
+                 dim_embd: int = 512, codebook_size: int = 1024,
+                 n_head: int = 8, n_layers: int = 9,
+                 connect_list: Sequence[str] = ('32', '64', '128', '256'),
+                 dtype=jnp.bfloat16, face_size: int = 512,
+                 batch_buckets: Sequence[int] = (1, 2, 4, 8, 16),
+                 rng_seed: int = 0):
+        setup_jax()  # persistent compilation cache
+        self.face_size = face_size
+        self.batch_buckets = sorted(batch_buckets)
+        self.model = CodeFormer(dim_embd=dim_embd,
+                                codebook_size=codebook_size, n_head=n_head,
+                                n_layers=n_layers,
+                                connect_list=tuple(connect_list),
+                                dtype=dtype)
+        if checkpoint is not None:
+            self.variables = load_checkpoint(checkpoint)
+        else:
+            self.variables = init_params_fast(
+                self.model, jnp.zeros((1, face_size, face_size, 3), dtype),
+                0.5, seed=rng_seed)
+        self.variables = jax.device_put(self.variables)
+
+        def _fwd(variables, x, w, adain, enable_fuse):
+            # x: uint8 RGB (B,H,W,3); normalize/denormalize on device and
+            # return uint8 so only 1 byte/px crosses host<->device
+            xn = (x.astype(jnp.float32) / 127.5 - 1.0).astype(dtype)
+            out, logits, _ = self.model.apply(
+                variables, xn, w, adain=adain, enable_fuse=enable_fuse)
+            out = jnp.clip(out.astype(jnp.float32), -1.0, 1.0)
+            return jnp.round((out + 1.0) * 127.5).astype(jnp.uint8)
+
+        self._fwd = jax.jit(_fwd, static_argnames=('adain', 'enable_fuse'))
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return int(self.batch_buckets[-1] *
+                   math.ceil(n / self.batch_buckets[-1]))
+
+    def restore_batch(self, faces_bgr: Sequence[np.ndarray],
+                      w: float = 0.5, adain: bool = True,
+                      enable_fuse: Optional[bool] = None
+                      ) -> List[np.ndarray]:
+        """uint8 BGR face crops (face_size^2) -> restored uint8 BGR faces.
+
+        enable_fuse defaults to (w > 0), the reference's structural gate
+        (codeformer_arch.py:276).
+        """
+        if enable_fuse is None:
+            enable_fuse = w > 0
+        out: List[np.ndarray] = []
+        max_b = self.batch_buckets[-1]
+        faces = list(faces_bgr)
+        for i in range(0, len(faces), max_b):
+            chunk = faces[i:i + max_b]
+            out.extend(self._restore_chunk(chunk, w, adain, enable_fuse))
+        return out
+
+    def _restore_chunk(self, chunk, w, adain, enable_fuse):
+        n = len(chunk)
+        b = self._bucket(n)
+        x = np.zeros((b, self.face_size, self.face_size, 3), np.uint8)
+        for j, face in enumerate(chunk):
+            assert face.shape[:2] == (self.face_size, self.face_size), \
+                f'face {j} has shape {face.shape}, expected {self.face_size}'
+            x[j] = face[..., ::-1]  # BGR -> RGB
+        y = self._fwd(self.variables, jnp.asarray(x), jnp.float32(w),
+                      adain, enable_fuse)
+        y = np.asarray(y)[:n]
+        return [im[..., ::-1] for im in y]
