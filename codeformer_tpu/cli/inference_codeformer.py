@@ -101,6 +101,9 @@ def main(argv=None):
         args.input_path, w)
     if args.output_path is not None:
         result_root = args.output_path
+    video_meta = None
+    if input_video:
+        input_img_list, video_meta = _read_video_frames(args.input_path)
     if not input_img_list:
         raise FileNotFoundError(
             'No input image/video is found...\n'
@@ -117,11 +120,39 @@ def main(argv=None):
     if args.has_aligned:
         run_aligned(args, input_img_list, result_root, restorer)
     else:
-        from .whole_image import run_whole_images  # needs detector stack
+        from .whole_image import run_whole_images
         run_whole_images(args, input_img_list, result_root, restorer,
-                         input_video)
+                         input_video, video_meta=video_meta)
 
     print(f'\nAll results are saved in {result_root}')
+
+
+def _read_video_frames(path):
+    """Decode all frames: ffmpeg pipe if available, else cv2.VideoCapture."""
+    from codeformer_tpu.utils.video_util import VideoReader, have_ffmpeg
+    if have_ffmpeg():
+        reader = VideoReader(path)
+        frames = []
+        frame = reader.get_frame()
+        while frame is not None:
+            frames.append(frame)
+            frame = reader.get_frame()
+        meta = {'fps': reader.get_fps(), 'audio': reader.get_audio()}
+        reader.close()
+        return frames, meta
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise RuntimeError(f'cannot open video {path} (no ffmpeg and '
+                           f'cv2.VideoCapture failed)')
+    fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame)
+    cap.release()
+    return frames, {'fps': fps, 'audio': None}
 
 
 if __name__ == '__main__':

@@ -1,13 +1,125 @@
-"""Whole-image / video restoration path: detect -> align -> restore ->
-paste back. Placeholder until the detection/parsing stack lands."""
+"""Whole-image / video restoration path: detect -> align -> batched restore
+-> parse-guided paste-back (reference main loop:
+inference_codeformer.py:160-272)."""
 from __future__ import annotations
 
+import glob
+import os
 import sys
+
+import cv2
+import numpy as np
+
+from codeformer_tpu.pipeline.face_helper import FaceRestoreHelper
+from codeformer_tpu.utils import img_util
 
 
 def run_whole_images(args, input_img_list, result_root, restorer,
-                     input_video):
-    sys.exit(
-        'Whole-image restoration (face detection + paste-back) is not wired '
-        'into this build yet — run with --has_aligned on 512x512 cropped '
-        'faces. The detection/parsing stack lands in the next milestones.')
+                     input_video, video_meta=None):
+    if args.bg_upsampler == 'realesrgan':
+        from codeformer_tpu.pipeline.realesrgan import set_realesrgan
+        bg_upsampler = set_realesrgan(tile=args.bg_tile,
+                                      allow_random=args.random_init)
+    else:
+        bg_upsampler = None
+    if args.face_upsample:
+        if bg_upsampler is not None:
+            face_upsampler = bg_upsampler
+        else:
+            from codeformer_tpu.pipeline.realesrgan import set_realesrgan
+            face_upsampler = set_realesrgan(tile=args.bg_tile,
+                                            allow_random=args.random_init)
+    else:
+        face_upsampler = None
+
+    face_helper = FaceRestoreHelper(
+        args.upscale, face_size=512, crop_ratio=(1, 1),
+        det_model=args.detection_model, save_ext='png', use_parse=True,
+        allow_random_weights=args.random_init)
+
+    w = args.fidelity_weight
+    video_name = (os.path.splitext(os.path.basename(args.input_path))[0]
+                  if input_video else None)
+
+    for i, img_path in enumerate(input_img_list):
+        face_helper.clean_all()
+        if isinstance(img_path, str):
+            img_name = os.path.basename(img_path)
+            basename, ext = os.path.splitext(img_name)
+            print(f'[{i + 1}/{len(input_img_list)}] Processing: {img_name}')
+            img = cv2.imread(img_path, cv2.IMREAD_COLOR)
+        else:
+            basename = str(i).zfill(6)
+            img_name = f'{video_name}_{basename}' if input_video \
+                else basename
+            print(f'[{i + 1}/{len(input_img_list)}] Processing: {img_name}')
+            img = img_path
+
+        face_helper.read_image(img)
+        num_det_faces = face_helper.get_face_landmarks_5(
+            only_center_face=args.only_center_face, resize=640,
+            eye_dist_threshold=5)
+        print(f'\tdetect {num_det_faces} faces')
+        face_helper.align_warp_face()
+
+        # batched restoration of ALL faces in this image (the reference
+        # loops one by one — inference_codeformer.py:197-213)
+        if face_helper.cropped_faces:
+            restored = restorer.restore_batch(
+                face_helper.cropped_faces, w=w, adain=True)
+            for cropped_face, restored_face in zip(
+                    face_helper.cropped_faces, restored):
+                face_helper.add_restored_face(restored_face, cropped_face)
+
+        # paste back
+        if bg_upsampler is not None:
+            bg_img = bg_upsampler.enhance(img, outscale=args.upscale)[0]
+        else:
+            bg_img = None
+        face_helper.get_inverse_affine(None)
+        if args.face_upsample and face_upsampler is not None:
+            restored_img = face_helper.paste_faces_to_input_image(
+                upsample_img=bg_img, draw_box=args.draw_box,
+                face_upsampler=face_upsampler)
+        else:
+            restored_img = face_helper.paste_faces_to_input_image(
+                upsample_img=bg_img, draw_box=args.draw_box)
+
+        # save faces
+        for idx, (cropped_face, restored_face) in enumerate(zip(
+                face_helper.cropped_faces, face_helper.restored_faces)):
+            save_crop_path = os.path.join(result_root, 'cropped_faces',
+                                          f'{basename}_{idx:02d}.png')
+            img_util.imwrite(cropped_face, save_crop_path)
+            save_face_name = f'{basename}_{idx:02d}.png'
+            if args.suffix is not None:
+                save_face_name = f'{save_face_name[:-4]}_{args.suffix}.png'
+            img_util.imwrite(restored_face,
+                             os.path.join(result_root, 'restored_faces',
+                                          save_face_name))
+
+        if restored_img is not None:
+            save_base = basename
+            if args.suffix is not None:
+                save_base = f'{basename}_{args.suffix}'
+            img_util.imwrite(restored_img,
+                             os.path.join(result_root, 'final_results',
+                                          f'{save_base}.png'))
+
+    if input_video:
+        from codeformer_tpu.utils.video_util import make_video_writer
+        print('Video Saving...')
+        img_list = sorted(glob.glob(
+            os.path.join(result_root, 'final_results', '*.[jp][pn]g')))
+        video_frames = [cv2.imread(p) for p in img_list]
+        height, width = video_frames[0].shape[:2]
+        fps = (video_meta or {}).get('fps', 24.0)
+        audio = (video_meta or {}).get('audio')
+        if args.save_video_fps is not None:
+            fps = args.save_video_fps
+        save_restore_path = os.path.join(result_root, f'{video_name}.mp4')
+        vidwriter = make_video_writer(save_restore_path, height, width,
+                                      fps, audio)
+        for f in video_frames:
+            vidwriter.write_frame(f)
+        vidwriter.close()

@@ -1,0 +1,142 @@
+"""Batched, sharded, prefetching data loader.
+
+TPU-first replacement for the reference's DataLoader + EnlargedSampler +
+CPU/CUDA prefetchers (basicsr/data/{data_sampler.py,
+prefetch_dataloader.py}): per-host index sharding (the jax.process_index
+analog of rank-strided sampling), a thread pool for the cv2-heavy
+degradation synthesis, and a lookahead queue so host compute overlaps
+device steps. Batches are stacked NHWC numpy, ready for device_put with a
+data-axis sharding.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class EnlargedSampler:
+    """Epoch-seeded shuffled indices with `ratio` virtual enlargement and
+    process-strided sharding (data_sampler.py:21-48)."""
+
+    def __init__(self, num_samples: int, num_replicas: int = 1,
+                 rank: int = 0, ratio: int = 1):
+        self.num_samples_raw = num_samples
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.total_size = ((num_samples * ratio + num_replicas - 1)
+                           // num_replicas) * num_replicas
+        self.per_rank = self.total_size // num_replicas
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[int]:
+        g = np.random.default_rng(self.epoch)
+        indices = g.permutation(self.total_size)
+        indices = indices[self.rank:self.total_size:self.num_replicas]
+        for idx in indices:
+            yield int(idx % self.num_samples_raw)
+
+    def __len__(self):
+        return self.per_rank
+
+
+def _stack(samples) -> Dict:
+    out = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals  # e.g. gt_path strings
+    return out
+
+
+class DataLoader:
+    """Iterates batches forever (training) or one epoch (validation)."""
+
+    def __init__(self, dataset, batch_size: int, sampler=None,
+                 num_workers: int = 4, prefetch: int = 4,
+                 drop_last: bool = True, loop: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler or EnlargedSampler(len(dataset))
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.loop = loop
+
+    def __iter__(self):
+        q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            pool = ThreadPoolExecutor(self.num_workers)
+            epoch = 0
+            try:
+                while not stop.is_set():
+                    self.sampler.set_epoch(epoch)
+                    batch_idx = []
+                    futures = []
+                    for idx in self.sampler:
+                        batch_idx.append(idx)
+                        if len(batch_idx) == self.batch_size:
+                            futures.append(pool.map(
+                                self.dataset.__getitem__, batch_idx))
+                            batch_idx = []
+                    if batch_idx and not self.drop_last:
+                        futures.append(pool.map(
+                            self.dataset.__getitem__, batch_idx))
+                    for fut in futures:
+                        if stop.is_set():
+                            return
+                        q.put(_stack(list(fut)))
+                    if not self.loop:
+                        break
+                    epoch += 1
+            finally:
+                q.put(None)
+                pool.shutdown(wait=False)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+
+    def __len__(self):
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+
+def build_dataloader(dataset, dataset_opt: Dict, sampler=None,
+                     num_replicas: int = 1, rank: int = 0,
+                     is_train: bool = True) -> DataLoader:
+    """Factory mirroring basicsr/data/__init__.py:40-93."""
+    if is_train:
+        batch = dataset_opt['batch_size_per_gpu']
+        sampler = sampler or EnlargedSampler(
+            len(dataset), num_replicas, rank,
+            dataset_opt.get('dataset_enlarge_ratio', 1))
+        return DataLoader(dataset, batch,
+                          sampler=sampler,
+                          num_workers=dataset_opt.get(
+                              'num_worker_per_gpu', 4),
+                          prefetch=dataset_opt.get('num_prefetch_queue', 4),
+                          drop_last=True, loop=True)
+    return DataLoader(dataset, 1, sampler=EnlargedSampler(len(dataset)),
+                      num_workers=1, prefetch=2, drop_last=False,
+                      loop=False)

@@ -4,6 +4,12 @@ from codeformer_tpu.utils.registry import ARCH_REGISTRY
 from .vqgan import (Encoder, Generator, GumbelQuantizer, VectorQuantizer,
                     VQAutoEncoder, VQGANDiscriminator)
 from .codeformer import CodeFormer
+from .retinaface import RetinaFace
+from .parsenet import ParseNet
+from .rrdbnet import RRDBNet
+from .bisenet import BiSeNet
+from .arcface import ResNetArcFace
+from .vgg import VGGFeatureExtractor
 
 
 def build_network(opt: dict):

@@ -1,0 +1,120 @@
+"""Face detection service: jitted RetinaFace graph + static-shape
+postprocessing, bucketed by input size.
+
+TPU-first redesign of RetinaFace.detect_faces (retinaface.py:194-239):
+decode/filter/top-k/NMS all run on device with fixed shapes; only a
+(MAX_FACES, 15) array + valid mask cross back to the host. Input images are
+zero-padded up to (64-multiple, 64-multiple) buckets so each bucket compiles
+once (persistently cached).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codeformer_tpu.models import RetinaFace
+from codeformer_tpu.ops.anchors import prior_boxes
+from codeformer_tpu.ops.nms import decode_boxes, decode_landmarks, nms
+from codeformer_tpu.utils.checkpoint import init_params_fast, load_checkpoint
+from codeformer_tpu.utils.misc import setup_jax
+
+# BGR means subtracted before the backbone (retinaface.py:88)
+_MEANS = (104.0, 117.0, 123.0)
+
+WEIGHTS = {
+    'retinaface_resnet50': 'weights/facelib/detection_Resnet50_Final.pth',
+    'retinaface_mobile0.25':
+        'weights/facelib/detection_mobilenet0.25_Final.pth',
+}
+
+
+class FaceDetector:
+    """Host-facing detector. detect_faces(img_bgr) -> (n, 15) float32
+    [x1, y1, x2, y2, score, lmk_x1, lmk_y1, ..., lmk_x5, lmk_y5] — the
+    reference's output layout."""
+
+    def __init__(self, model_name: str = 'retinaface_resnet50',
+                 checkpoint: Optional[str] = None,
+                 allow_random: bool = False,
+                 max_faces: int = 32, pre_nms_topk: int = 1024,
+                 dtype=jnp.float32):
+        setup_jax()
+        network = ('resnet50' if 'resnet50' in model_name
+                   else 'mobile0.25')
+        self.model = RetinaFace(network_name=network, dtype=dtype)
+        self.max_faces = max_faces
+        self.pre_nms_topk = pre_nms_topk
+
+        import os
+        ckpt = checkpoint or WEIGHTS.get(model_name)
+        if ckpt and os.path.exists(ckpt):
+            self.variables = load_checkpoint(ckpt)
+        elif allow_random:
+            self.variables = init_params_fast(
+                self.model, jnp.zeros((1, 64, 64, 3)))
+        else:
+            raise FileNotFoundError(
+                f'detector weights not found at {ckpt}; place the released '
+                f'.pth there or pass checkpoint=/allow_random=True')
+        self.variables = jax.device_put(self.variables)
+        self._jitted = {}
+
+    def _graph(self, hw: Tuple[int, int]):
+        if hw in self._jitted:
+            return self._jitted[hw]
+        h, w = hw
+        priors = jnp.asarray(prior_boxes(h, w))
+        scale_b = jnp.asarray([w, h, w, h], jnp.float32)
+        scale_l = jnp.asarray([w, h] * 5, jnp.float32)
+
+        def run(variables, img, conf_threshold, nms_threshold):
+            x = img.astype(jnp.float32) - jnp.asarray(_MEANS)
+            loc, conf, landm = self.model.apply(variables, x[None])
+            boxes = decode_boxes(loc[0], priors) * scale_b
+            landms = decode_landmarks(landm[0], priors) * scale_l
+            scores = conf[0, :, 1]
+            scores = jnp.where(scores > conf_threshold, scores, -jnp.inf)
+            # top-k prefilter bounds the NMS cost
+            k = min(self.pre_nms_topk, scores.shape[0])
+            top_scores, top_idx = jax.lax.top_k(scores, k)
+            top_boxes = boxes[top_idx]
+            top_landms = landms[top_idx]
+            keep, valid = nms(top_boxes, top_scores, nms_threshold,
+                              self.max_faces)
+            out = jnp.concatenate([
+                top_boxes[keep], top_scores[keep][:, None],
+                top_landms[keep]], axis=1)
+            return out, valid
+
+        fn = jax.jit(run)
+        self._jitted[hw] = fn
+        return fn
+
+    @staticmethod
+    def _bucket(size: int, step: int = 64) -> int:
+        return int(math.ceil(size / step) * step)
+
+    def detect_faces(self, img_bgr: np.ndarray,
+                     conf_threshold: float = 0.8,
+                     nms_threshold: float = 0.4) -> np.ndarray:
+        h, w = img_bgr.shape[:2]
+        hb, wb = self._bucket(h), self._bucket(w)
+        padded = np.zeros((hb, wb, 3), np.float32)
+        padded[:h, :w] = img_bgr.astype(np.float32)
+        fn = self._graph((hb, wb))
+        out, valid = fn(self.variables, jnp.asarray(padded),
+                        jnp.float32(conf_threshold),
+                        jnp.float32(nms_threshold))
+        out = np.asarray(out)[np.asarray(valid)]
+        out = out[np.isfinite(out).all(axis=1)]
+        if out.size == 0:
+            return np.zeros((0, 15), np.float32)
+        # drop detections centered in the padding region
+        cx = (out[:, 0] + out[:, 2]) / 2
+        cy = (out[:, 1] + out[:, 3]) / 2
+        out = out[(cx < w) & (cy < h)]
+        return out

@@ -1,0 +1,388 @@
+"""FaceRestoreHelper — whole-image pipeline orchestrator.
+
+Behavioral spec: facelib/utils/face_restoration_helper.py:54-525 (FFHQ
+5-point template, detect -> filter -> align-warp -> restore -> parse-guided
+paste-back). The neural stages (detector, parser, restorer) run as jitted
+batched device graphs; the per-face geometry/morphology of the compositor
+runs host-side with cv2 for exact pixel parity with the reference (the cost
+is negligible next to the model forwards; an all-XLA compositor using
+ops/geometry+filters is the planned next optimization).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from codeformer_tpu.models import ParseNet
+from codeformer_tpu.utils.checkpoint import init_params_fast, load_checkpoint
+from codeformer_tpu.utils.img_util import (adain_color_transfer, bgr2gray3,
+                                           is_gray, imwrite,
+                                           normalize_img_dtype)
+from .detector import FaceDetector
+
+PARSENET_WEIGHTS = 'weights/facelib/parsing_parsenet.pth'
+
+# 19-class parse mask -> binary face mask
+# (face_restoration_helper.py:468)
+MASK_COLORMAP = [0, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+                 255, 255, 0, 255, 0, 0, 0]
+
+
+def get_largest_face(det_faces, h, w):
+    """(face_restoration_helper.py:18-37)"""
+    def get_location(val, length):
+        return max(min(val, length), 0)
+    face_areas = []
+    for det_face in det_faces:
+        left = get_location(det_face[0], w)
+        right = get_location(det_face[2], w)
+        top = get_location(det_face[1], h)
+        bottom = get_location(det_face[3], h)
+        face_areas.append((right - left) * (bottom - top))
+    largest_idx = int(np.argmax(face_areas))
+    return [det_faces[largest_idx]], largest_idx
+
+
+def get_center_face(det_faces, h=0, w=0, center=None):
+    """(face_restoration_helper.py:40-51)"""
+    if center is not None:
+        center = np.array(center)
+    else:
+        center = np.array([w / 2, h / 2])
+    dists = []
+    for det_face in det_faces:
+        face_center = np.array([(det_face[0] + det_face[2]) / 2,
+                                (det_face[1] + det_face[3]) / 2])
+        dists.append(np.linalg.norm(face_center - center))
+    center_idx = int(np.argmin(dists))
+    return [det_faces[center_idx]], center_idx
+
+
+class FaceRestoreHelper:
+    """Pipeline orchestrator with the reference's public surface."""
+
+    def __init__(self, upscale_factor: int, face_size: int = 512,
+                 crop_ratio=(1, 1), det_model: str = 'retinaface_resnet50',
+                 save_ext: str = 'png', template_3points: bool = False,
+                 pad_blur: bool = False, use_parse: bool = False,
+                 device=None, allow_random_weights: bool = False,
+                 detector: Optional[FaceDetector] = None):
+        self.template_3points = template_3points
+        self.upscale_factor = int(upscale_factor)
+        self.crop_ratio = crop_ratio
+        assert crop_ratio[0] >= 1 and crop_ratio[1] >= 1, \
+            'crop ration only supports >=1'
+        self.face_size = (int(face_size * crop_ratio[1]),
+                          int(face_size * crop_ratio[0]))
+        self.det_model = det_model
+
+        # FFHQ 512 5-point template (face_restoration_helper.py:84-87)
+        if self.template_3points:
+            self.face_template = np.array(
+                [[192, 240], [319, 240], [257, 371]], np.float32)
+        else:
+            self.face_template = np.array(
+                [[192.98138, 239.94708], [318.90277, 240.1936],
+                 [256.63416, 314.01935], [201.26117, 371.41043],
+                 [313.08905, 371.15118]], np.float32)
+        self.face_template = self.face_template * (face_size / 512.0)
+        if self.crop_ratio[0] > 1:
+            self.face_template[:, 1] += face_size * (
+                self.crop_ratio[0] - 1) / 2
+        if self.crop_ratio[1] > 1:
+            self.face_template[:, 0] += face_size * (
+                self.crop_ratio[1] - 1) / 2
+        self.save_ext = save_ext
+        self.pad_blur = pad_blur
+        if self.pad_blur:
+            self.template_3points = False
+
+        self.all_landmarks_5: List[np.ndarray] = []
+        self.det_faces: List[np.ndarray] = []
+        self.affine_matrices: List[np.ndarray] = []
+        self.inverse_affine_matrices: List[np.ndarray] = []
+        self.cropped_faces: List[np.ndarray] = []
+        self.restored_faces: List[np.ndarray] = []
+        self.pad_input_imgs: List[np.ndarray] = []
+        self.is_gray = False
+
+        self.face_detector = detector or FaceDetector(
+            det_model, allow_random=allow_random_weights)
+
+        self.use_parse = use_parse
+        self._parse_model = ParseNet()
+        if os.path.exists(PARSENET_WEIGHTS):
+            self._parse_vars = load_checkpoint(PARSENET_WEIGHTS)
+        elif allow_random_weights:
+            self._parse_vars = init_params_fast(
+                self._parse_model, jnp.zeros((1, 512, 512, 3)))
+        else:
+            raise FileNotFoundError(
+                f'ParseNet weights not found at {PARSENET_WEIGHTS}')
+        self._parse_vars = jax.device_put(self._parse_vars)
+
+        def _parse(variables, faces):
+            # faces: (B, 512, 512, 3) uint8 RGB -> (B, 512, 512) class ids
+            x = faces.astype(jnp.float32) / 127.5 - 1.0
+            mask, _ = self._parse_model.apply(variables, x)
+            return jnp.argmax(mask, axis=-1)
+
+        self._parse_jit = jax.jit(_parse)
+
+    def set_upscale_factor(self, upscale_factor):
+        self.upscale_factor = upscale_factor
+
+    def read_image(self, img):
+        """img: path or BGR array. Normalizes to uint8 BGR and upsamples so
+        min side >= 512 (face_restoration_helper.py:130-150)."""
+        if isinstance(img, str):
+            img = cv2.imread(img)
+        if np.max(img) > 256:  # 16-bit
+            img = (img / 65535 * 255).astype(np.uint8)
+        img = normalize_img_dtype(np.asarray(img))
+        self.input_img = img
+        self.is_gray = is_gray(img, threshold=10)
+        if self.is_gray:
+            print('Grayscale input: True')
+        if min(self.input_img.shape[:2]) < 512:
+            f = 512.0 / min(self.input_img.shape[:2])
+            self.input_img = cv2.resize(self.input_img, (0, 0), fx=f, fy=f,
+                                        interpolation=cv2.INTER_LINEAR)
+
+    def get_face_landmarks_5(self, only_keep_largest=False,
+                             only_center_face=False, resize=None,
+                             eye_dist_threshold=None) -> int:
+        if resize is None:
+            scale = 1.0
+            input_img = self.input_img
+        else:
+            h, w = self.input_img.shape[0:2]
+            scale = resize / min(h, w)
+            h, w = int(h * scale), int(w * scale)
+            interp = cv2.INTER_AREA if scale < 1 else cv2.INTER_LINEAR
+            input_img = cv2.resize(self.input_img, (w, h),
+                                   interpolation=interp)
+
+        bboxes = self.face_detector.detect_faces(input_img)
+        if bboxes is None or bboxes.shape[0] == 0:
+            return 0
+        bboxes = bboxes / scale
+
+        for bbox in bboxes:
+            eye_dist = np.linalg.norm(
+                [bbox[6] - bbox[8], bbox[7] - bbox[9]])
+            if eye_dist_threshold is not None and \
+                    eye_dist < eye_dist_threshold:
+                continue
+            if self.template_3points:
+                landmark = np.array(
+                    [[bbox[i], bbox[i + 1]] for i in range(5, 11, 2)])
+            else:
+                landmark = np.array(
+                    [[bbox[i], bbox[i + 1]] for i in range(5, 15, 2)])
+            self.all_landmarks_5.append(landmark)
+            self.det_faces.append(bbox[0:5])
+
+        if len(self.det_faces) == 0:
+            return 0
+        if only_keep_largest:
+            h, w, _ = self.input_img.shape
+            self.det_faces, largest_idx = get_largest_face(
+                self.det_faces, h, w)
+            self.all_landmarks_5 = [self.all_landmarks_5[largest_idx]]
+        elif only_center_face:
+            h, w, _ = self.input_img.shape
+            self.det_faces, center_idx = get_center_face(
+                self.det_faces, h, w)
+            self.all_landmarks_5 = [self.all_landmarks_5[center_idx]]
+        return len(self.det_faces)
+
+    def align_warp_face(self, save_cropped_path=None,
+                        border_mode='constant'):
+        """5-landmark similarity alignment + warp to the template
+        (face_restoration_helper.py:319-349)."""
+        border = {'constant': cv2.BORDER_CONSTANT,
+                  'reflect101': cv2.BORDER_REFLECT101,
+                  'reflect': cv2.BORDER_REFLECT}[border_mode]
+        for idx, landmark in enumerate(self.all_landmarks_5):
+            affine_matrix = cv2.estimateAffinePartial2D(
+                landmark, self.face_template, method=cv2.LMEDS)[0]
+            self.affine_matrices.append(affine_matrix)
+            input_img = self.input_img
+            cropped_face = cv2.warpAffine(
+                input_img, affine_matrix, self.face_size,
+                borderMode=border, borderValue=(135, 133, 132))
+            self.cropped_faces.append(cropped_face)
+            if save_cropped_path is not None:
+                path = os.path.splitext(save_cropped_path)[0]
+                imwrite(cropped_face, f'{path}_{idx:02d}.{self.save_ext}')
+
+    def get_inverse_affine(self, save_inverse_affine_path=None):
+        for affine_matrix in self.affine_matrices:
+            inverse_affine = cv2.invertAffineTransform(affine_matrix)
+            inverse_affine *= self.upscale_factor
+            self.inverse_affine_matrices.append(inverse_affine)
+
+    def add_restored_face(self, restored_face, input_face=None):
+        if self.is_gray:
+            restored_face = bgr2gray3(restored_face)
+            if input_face is not None:
+                restored_face = adain_color_transfer(restored_face,
+                                                     input_face)
+        self.restored_faces.append(restored_face)
+
+    def _parse_masks(self, restored_faces: List[np.ndarray]) -> np.ndarray:
+        """Batched ParseNet over all faces: (N, 512, 512) class ids."""
+        batch = np.stack([
+            cv2.resize(f, (512, 512),
+                       interpolation=cv2.INTER_LINEAR)[..., ::-1]
+            for f in restored_faces]).astype(np.uint8)
+        out = self._parse_jit(self._parse_vars, jnp.asarray(batch))
+        return np.asarray(out)
+
+    def paste_faces_to_input_image(self, save_path=None, upsample_img=None,
+                                   draw_box=False, face_upsampler=None):
+        """Inverse-warp each restored face onto the (upscaled) input with
+        erosion + soft-edge + parse-guided masks
+        (face_restoration_helper.py:372-516)."""
+        h, w, _ = self.input_img.shape
+        h_up, w_up = (int(h * self.upscale_factor),
+                      int(w * self.upscale_factor))
+
+        if upsample_img is None:
+            upsample_img = cv2.resize(self.input_img, (w_up, h_up),
+                                      interpolation=cv2.INTER_LINEAR)
+        else:
+            upsample_img = cv2.resize(upsample_img, (w_up, h_up),
+                                      interpolation=cv2.INTER_LANCZOS4)
+
+        assert len(self.restored_faces) == len(self.inverse_affine_matrices)
+
+        if self.use_parse and self.restored_faces:
+            # batched device parsing (the reference parses per face)
+            if face_upsampler is not None:
+                faces_for_parse = [
+                    face_upsampler.enhance(
+                        f, outscale=self.upscale_factor)[0]
+                    for f in self.restored_faces]
+            else:
+                faces_for_parse = self.restored_faces
+            parse_ids = self._parse_masks(faces_for_parse)
+        else:
+            faces_for_parse = self.restored_faces
+            parse_ids = [None] * len(self.restored_faces)
+
+        inv_mask_borders = []
+        upsample_img = upsample_img.astype(np.float32)
+        for i, (restored_face, inverse_affine) in enumerate(
+                zip(self.restored_faces, self.inverse_affine_matrices)):
+            if face_upsampler is not None:
+                restored_face = faces_for_parse[i]
+                inverse_affine = inverse_affine / self.upscale_factor
+                inverse_affine[:, 2] *= self.upscale_factor
+                face_size = (self.face_size[0] * self.upscale_factor,
+                             self.face_size[1] * self.upscale_factor)
+            else:
+                extra_offset = (0.5 * self.upscale_factor
+                                if self.upscale_factor > 1 else 0)
+                inverse_affine = inverse_affine.copy()
+                inverse_affine[:, 2] += extra_offset
+                face_size = self.face_size
+            inv_restored = cv2.warpAffine(restored_face, inverse_affine,
+                                          (w_up, h_up))
+
+            # square mask, eroded to kill warp borders
+            mask = np.ones(face_size, dtype=np.float32)
+            inv_mask = cv2.warpAffine(mask, inverse_affine, (w_up, h_up))
+            k = int(2 * self.upscale_factor)
+            inv_mask_erosion = cv2.erode(inv_mask,
+                                         np.ones((k, k), np.uint8))
+            pasted_face = inv_mask_erosion[:, :, None] * inv_restored
+            total_face_area = np.sum(inv_mask_erosion)
+            if draw_box:
+                hh, ww = face_size
+                mask_border = np.ones((hh, ww, 3), dtype=np.float32)
+                border = int(1400 / np.sqrt(total_face_area))
+                mask_border[border:hh - border, border:ww - border, :] = 0
+                inv_mask_borders.append(
+                    cv2.warpAffine(mask_border, inverse_affine,
+                                   (w_up, h_up)))
+
+            # fusion edge sized by face area
+            w_edge = int(total_face_area ** 0.5) // 20
+            erosion_radius = w_edge * 2
+            inv_mask_center = cv2.erode(
+                inv_mask_erosion,
+                np.ones((erosion_radius, erosion_radius), np.uint8))
+            blur_size = w_edge * 2
+            inv_soft_mask = cv2.GaussianBlur(
+                inv_mask_center, (blur_size + 1, blur_size + 1), 0)
+            inv_soft_mask = inv_soft_mask[:, :, None]
+
+            if self.use_parse:
+                out_ids = parse_ids[i]
+                parse_mask = np.zeros(out_ids.shape, np.float32)
+                for idx, color in enumerate(MASK_COLORMAP):
+                    parse_mask[out_ids == idx] = color
+                parse_mask = cv2.GaussianBlur(parse_mask, (101, 101), 11)
+                parse_mask = cv2.GaussianBlur(parse_mask, (101, 101), 11)
+                thres = 10
+                parse_mask[:thres, :] = 0
+                parse_mask[-thres:, :] = 0
+                parse_mask[:, :thres] = 0
+                parse_mask[:, -thres:] = 0
+                parse_mask = parse_mask / 255.0
+                parse_mask = cv2.resize(parse_mask, face_size)
+                parse_mask = cv2.warpAffine(parse_mask, inverse_affine,
+                                            (w_up, h_up), flags=3)
+                inv_soft_parse_mask = parse_mask[:, :, None]
+                fuse_mask = (inv_soft_parse_mask
+                             < inv_soft_mask).astype('int')
+                inv_soft_mask = (inv_soft_parse_mask * fuse_mask
+                                 + inv_soft_mask * (1 - fuse_mask))
+
+            if upsample_img.ndim == 3 and upsample_img.shape[2] == 4:
+                alpha = upsample_img[:, :, 3:]
+                upsample_img = (inv_soft_mask * pasted_face
+                                + (1 - inv_soft_mask)
+                                * upsample_img[:, :, 0:3])
+                upsample_img = np.concatenate((upsample_img, alpha), axis=2)
+            else:
+                upsample_img = (inv_soft_mask * pasted_face
+                                + (1 - inv_soft_mask) * upsample_img)
+
+        if np.max(upsample_img) > 256:
+            upsample_img = upsample_img.astype(np.uint16)
+        else:
+            upsample_img = upsample_img.astype(np.uint8)
+
+        if draw_box:
+            img_color = np.ones(upsample_img.shape, dtype=np.float32)
+            img_color[:, :, 0] = 0
+            img_color[:, :, 1] = 255
+            img_color[:, :, 2] = 0
+            for inv_mask_border in inv_mask_borders:
+                upsample_img = (inv_mask_border * img_color
+                                + (1 - inv_mask_border) * upsample_img)
+            upsample_img = upsample_img.astype(np.uint8)
+
+        if save_path is not None:
+            path = os.path.splitext(save_path)[0]
+            save_path = f'{path}.{self.save_ext}'
+            imwrite(upsample_img, save_path)
+        return upsample_img
+
+    def clean_all(self):
+        self.all_landmarks_5 = []
+        self.det_faces = []
+        self.affine_matrices = []
+        self.inverse_affine_matrices = []
+        self.cropped_faces = []
+        self.restored_faces = []
+        self.pad_input_imgs = []

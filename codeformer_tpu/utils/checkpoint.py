@@ -21,7 +21,10 @@ def save_params(variables: Dict[str, Any], path: str):
     """Serialize a variables pytree to msgpack (atomic write)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     host_vars = jax.tree.map(np.asarray, variables)
-    data = serialization.msgpack_serialize(host_vars)
+    # to_state_dict converts namedtuples/tuples (e.g. optax states) into
+    # msgpack-serializable nested dicts
+    data = serialization.msgpack_serialize(
+        serialization.to_state_dict(host_vars))
     tmp = path + '.tmp'
     with open(tmp, 'wb') as f:
         f.write(data)

@@ -85,6 +85,37 @@ class VideoReader:
         self._proc.wait()
 
 
+class Cv2VideoWriter:
+    """cv2 fallback writer (no audio mux) for ffmpeg-less environments."""
+
+    def __init__(self, video_save_path: str, height: int, width: int,
+                 fps: float, audio=None):
+        import cv2
+        import os
+        os.makedirs(os.path.dirname(os.path.abspath(video_save_path)),
+                    exist_ok=True)
+        fourcc = cv2.VideoWriter_fourcc(*'mp4v')
+        self._w = cv2.VideoWriter(video_save_path, fourcc, fps,
+                                  (width, height))
+        if not self._w.isOpened():
+            raise RuntimeError(f'cv2.VideoWriter failed for '
+                               f'{video_save_path}')
+
+    def write_frame(self, frame: np.ndarray):
+        self._w.write(frame.astype(np.uint8))
+
+    def close(self):
+        self._w.release()
+
+
+def make_video_writer(video_save_path: str, height: int, width: int,
+                      fps: float, audio=None):
+    """ffmpeg writer when available (audio muxing), else cv2 fallback."""
+    if have_ffmpeg():
+        return VideoWriter(video_save_path, height, width, fps, audio)
+    return Cv2VideoWriter(video_save_path, height, width, fps, audio)
+
+
 class VideoWriter:
     """Encode uint8 BGR frames to x264 mp4, muxing audio from a source."""
 

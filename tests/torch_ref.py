@@ -217,6 +217,23 @@ def load_facelib_detection():
     return rf, pn
 
 
+def load_rrdbnet():
+    """Reference RRDBNet (needs arch_util with dcn/torchvision stubs)."""
+    _fake_basicsr()
+    _fake_torchvision()
+    if 'basicsr.ops.dcn' not in sys.modules:
+        ops = types.ModuleType('basicsr.ops')
+        dcn = types.ModuleType('basicsr.ops.dcn')
+        dcn.ModulatedDeformConvPack = object
+        dcn.modulated_deform_conv = lambda *a, **k: None
+        sys.modules['basicsr.ops'] = ops
+        sys.modules['basicsr.ops.dcn'] = dcn
+    _load('basicsr.archs.arch_util',
+          f'{REF}/basicsr/archs/arch_util.py')
+    return _load('basicsr.archs.rrdbnet_arch',
+                 f'{REF}/basicsr/archs/rrdbnet_arch.py')
+
+
 def load_reference_archs():
     """Returns (vqgan_arch_module, codeformer_arch_module) from the
     reference repository, importable without torchvision/lpips."""
