@@ -56,15 +56,18 @@ class RealESRGANer:
         self.variables = jax.device_put(self.variables)
 
         def _fwd(variables, tiles):
-            # tiles: (N, t, t, 3) float32 RGB [0,1]
+            # tiles: (N, t, t, 3) float32 RGB [0,1]; returns uint8 0-255 so
+            # only 1 byte/px crosses the (slow) device->host link
             out = self.model.apply(variables, tiles.astype(dtype))
-            return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+            out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+            return jnp.round(out * 255.0).astype(jnp.uint8)
 
-        self._fwd = jax.jit(_fwd)
+        self._jfwd = jax.jit(_fwd)
 
     def _process_whole(self, img01: np.ndarray) -> np.ndarray:
-        out = self._fwd(self.variables, jnp.asarray(img01[None]))
-        return np.asarray(out)[0]
+        out = np.asarray(self._jfwd(self.variables,
+                                    jnp.asarray(img01[None])))
+        return out[0].astype(np.float32) / 255.0
 
     def _process_tiled(self, img01: np.ndarray) -> np.ndarray:
         h, w, c = img01.shape
@@ -93,9 +96,9 @@ class RealESRGANer:
             n = len(part)
             if n < chunk:
                 part = part + [np.zeros_like(part[0])] * (chunk - n)
-            res = np.asarray(self._fwd(self.variables,
-                                       jnp.asarray(np.stack(part))))
-            outs.append(res[:n])
+            res = np.asarray(self._jfwd(self.variables,
+                                        jnp.asarray(np.stack(part))))
+            outs.append(res[:n].astype(np.float32) / 255.0)
         out_tiles = np.concatenate(outs)
         out = np.zeros((h * s, w * s, c), np.float32)
         i = 0
