@@ -10,6 +10,7 @@ from .rrdbnet import RRDBNet
 from .bisenet import BiSeNet
 from .arcface import ResNetArcFace
 from .vgg import VGGFeatureExtractor
+from .yolov5face import YoloFace
 
 
 def build_network(opt: dict):

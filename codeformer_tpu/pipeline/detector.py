@@ -29,7 +29,21 @@ WEIGHTS = {
     'retinaface_resnet50': 'weights/facelib/detection_Resnet50_Final.pth',
     'retinaface_mobile0.25':
         'weights/facelib/detection_mobilenet0.25_Final.pth',
+    'YOLOv5l': 'weights/facelib/yolov5l-face.pth',
+    'YOLOv5n': 'weights/facelib/yolov5n-face.pth',
 }
+
+
+def init_detection_model(model_name: str, checkpoint=None,
+                         allow_random: bool = False):
+    """Factory mirroring facelib/detection/__init__.py:14-22."""
+    if model_name.startswith('retinaface'):
+        return FaceDetector(model_name, checkpoint=checkpoint,
+                            allow_random=allow_random)
+    if model_name.startswith('YOLOv5'):
+        return YoloFaceDetector(model_name, checkpoint=checkpoint,
+                                allow_random=allow_random)
+    raise NotImplementedError(f'{model_name} is not implemented.')
 
 
 class FaceDetector:
@@ -118,3 +132,78 @@ class FaceDetector:
         cy = (out[:, 1] + out[:, 3]) / 2
         out = out[(cx < w) & (cy < h)]
         return out
+
+
+class YoloFaceDetector:
+    """YOLOv5-face service with the same detect_faces() -> (n, 15) surface
+    as FaceDetector (the reference YoloDetector returns
+    [x1,y1,x2,y2,score,lmk*10], face_detector.py:105-138)."""
+
+    def __init__(self, model_name: str = 'YOLOv5n',
+                 checkpoint: Optional[str] = None,
+                 allow_random: bool = False, max_faces: int = 32,
+                 pre_nms_topk: int = 1024, dtype=jnp.float32):
+        from codeformer_tpu.models.yolov5face import YoloFace
+        setup_jax()
+        variant = 'yolov5l' if model_name.endswith('l') else 'yolov5n'
+        self.model = YoloFace(variant=variant, dtype=dtype)
+        self.max_faces = max_faces
+        self.pre_nms_topk = pre_nms_topk
+
+        import os
+        ckpt = checkpoint or WEIGHTS.get(model_name)
+        if ckpt and os.path.exists(ckpt):
+            self.variables = load_checkpoint(ckpt)
+        elif allow_random:
+            self.variables = init_params_fast(
+                self.model, jnp.zeros((1, 64, 64, 3)))
+        else:
+            raise FileNotFoundError(
+                f'detector weights not found at {ckpt}')
+        self.variables = jax.device_put(self.variables)
+        self._jitted = {}
+
+    def _graph(self, hw):
+        if hw in self._jitted:
+            return self._jitted[hw]
+
+        def run(variables, img01, conf_threshold, nms_threshold):
+            pred = self.model.apply(variables, img01[None])[0]  # (N, 16)
+            xy, wh = pred[:, 0:2], pred[:, 2:4]
+            boxes = jnp.concatenate([xy - wh / 2, xy + wh / 2], axis=1)
+            scores = pred[:, 4] * pred[:, 15]  # obj * cls conf
+            scores = jnp.where(scores > conf_threshold, scores, -jnp.inf)
+            k = min(self.pre_nms_topk, scores.shape[0])
+            top_scores, top_idx = jax.lax.top_k(scores, k)
+            top_boxes = boxes[top_idx]
+            top_landms = pred[top_idx, 5:15]
+            keep, valid = nms(top_boxes, top_scores, nms_threshold,
+                              self.max_faces)
+            out = jnp.concatenate([
+                top_boxes[keep], top_scores[keep][:, None],
+                top_landms[keep]], axis=1)
+            return out, valid
+
+        fn = jax.jit(run)
+        self._jitted[hw] = fn
+        return fn
+
+    def detect_faces(self, img_bgr: np.ndarray,
+                     conf_threshold: float = 0.8,
+                     nms_threshold: float = 0.4) -> np.ndarray:
+        h, w = img_bgr.shape[:2]
+        hb = FaceDetector._bucket(h, 32)
+        wb = FaceDetector._bucket(w, 32)
+        padded = np.full((hb, wb, 3), 114 / 255.0, np.float32)
+        padded[:h, :w] = img_bgr[..., ::-1].astype(np.float32) / 255.0
+        fn = self._graph((hb, wb))
+        out, valid = fn(self.variables, jnp.asarray(padded),
+                        jnp.float32(conf_threshold),
+                        jnp.float32(nms_threshold))
+        out = np.asarray(out)[np.asarray(valid)]
+        out = out[np.isfinite(out).all(axis=1)]
+        if out.size == 0:
+            return np.zeros((0, 15), np.float32)
+        cx = (out[:, 0] + out[:, 2]) / 2
+        cy = (out[:, 1] + out[:, 3]) / 2
+        return out[(cx < w) & (cy < h)]

@@ -112,7 +112,8 @@ class FaceRestoreHelper:
         self.pad_input_imgs: List[np.ndarray] = []
         self.is_gray = False
 
-        self.face_detector = detector or FaceDetector(
+        from .detector import init_detection_model
+        self.face_detector = detector or init_detection_model(
             det_model, allow_random=allow_random_weights)
 
         self.use_parse = use_parse
