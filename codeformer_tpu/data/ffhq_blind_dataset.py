@@ -81,29 +81,48 @@ class FFHQBlindDataset:
 
     # -------------------- degradation steps --------------------
     def _degrade(self, img_gt: np.ndarray, rng) -> np.ndarray:
-        """img_gt: float32 BGR [0,1] (gt_size^2) -> degraded in_size^2."""
+        """img_gt: float32 BGR [0,1] (gt_size^2) -> degraded in_size^2.
+
+        Dispatches blur+downsample+noise to the fused native kernel
+        (native/degrade.cpp) at large downsample factors where its
+        sample-only evaluation beats cv2's dense FFT filter; cv2 otherwise.
+        """
         img_in = img_gt
         kernel = degradations.random_mixed_kernels(
             self.kernel_list, self.kernel_prob, self.blur_kernel_size,
             self.blur_sigma, self.blur_sigma, (-math.pi, math.pi),
             noise_range=None, rng=rng)
-        img_in = cv2.filter2D(img_in, -1, kernel)
 
         scale = rng.uniform(*self.downsample_range)
-        img_in = cv2.resize(img_in, (int(self.gt_size // scale),
-                                     int(self.gt_size // scale)),
-                            interpolation=cv2.INTER_LINEAR)
-
+        dsize = int(self.gt_size // scale)
+        sigma = 0.0
         if self.noise_range is not None:
             sigma = rng.uniform(self.noise_range[0] / 255.0,
                                 self.noise_range[1] / 255.0)
-            img_in = degradations.add_gaussian_noise(img_in, sigma, rng)
+
+        img_small = None
+        if scale >= 8 and self.opt.get('native_degrade', True):
+            from .native import degrade_batch_native
+            out = degrade_batch_native(
+                np.ascontiguousarray(img_in)[None], kernel[None],
+                np.array([[dsize, dsize]], np.int32),
+                np.array([sigma], np.float32), dsize,
+                seed=int(rng.integers(2 ** 62)))
+            if out is not None:
+                img_small = out[0]
+        if img_small is None:
+            img_small = cv2.filter2D(img_in, -1, kernel)
+            img_small = cv2.resize(img_small, (dsize, dsize),
+                                   interpolation=cv2.INTER_LINEAR)
+            if sigma > 0:
+                img_small = degradations.add_gaussian_noise(img_small,
+                                                            sigma, rng)
 
         if self.jpeg_range is not None:
             quality = rng.uniform(*self.jpeg_range)
-            img_in = degradations.jpeg_compress(img_in, quality)
+            img_small = degradations.jpeg_compress(img_small, quality)
 
-        return cv2.resize(img_in, (self.in_size, self.in_size),
+        return cv2.resize(img_small, (self.in_size, self.in_size),
                           interpolation=cv2.INTER_LINEAR)
 
     def _colorize_augments(self, img_in: np.ndarray, rng) -> np.ndarray:
