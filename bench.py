@@ -39,7 +39,7 @@ def main():
         return jnp.sum(out.astype(jnp.float32))
 
     results = {}
-    for batch in (1, 16, 32):
+    for batch in (1, 16, 32, 64):
         x = jax.random.uniform(rng, (batch, 512, 512, 3), jnp.bfloat16,
                                -1.0, 1.0)
         try:

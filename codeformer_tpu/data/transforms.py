@@ -94,3 +94,26 @@ def augment(imgs, hflip: bool = True, rotation: bool = True, flows=None,
     if return_status:
         return imgs, (hflip, vflip, rot90)
     return imgs
+
+
+def duf_downsample(x, kernel_size: int = 13, scale: int = 4):
+    """Blur+downsample used by DUF-style VSR (reference
+    basicsr/data/data_util.py:277-307): Gaussian blur (sigma 0.4*scale)
+    then stride-`scale` sampling. x: NHWC jax/numpy array."""
+    import jax
+    import jax.numpy as jnp
+    from codeformer_tpu.ops.filters import gaussian_blur
+    assert scale in (2, 3, 4), f'Only support scale (2, 3, 4), got {scale}'
+    squeeze = False
+    if x.ndim == 3:
+        x = x[None]
+        squeeze = True
+    pad_w = kernel_size // 2 + scale * 2
+    x = jnp.pad(x, ((0, 0), (pad_w, pad_w), (pad_w, pad_w), (0, 0)),
+                mode='reflect')
+    x = gaussian_blur(x, kernel_size, sigma=0.4 * scale)
+    x = x[:, pad_w:-pad_w:1, pad_w:-pad_w:1, :]
+    x = x[:, ::scale, ::scale, :]
+    if squeeze:
+        x = x[0]
+    return x

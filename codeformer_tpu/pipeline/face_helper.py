@@ -158,6 +158,7 @@ class FaceRestoreHelper:
 
     def get_face_landmarks_5(self, only_keep_largest=False,
                              only_center_face=False, resize=None,
+                             blur_ratio=0.01,
                              eye_dist_threshold=None) -> int:
         if resize is None:
             scale = 1.0
@@ -202,6 +203,50 @@ class FaceRestoreHelper:
             self.det_faces, center_idx = get_center_face(
                 self.det_faces, h, w)
             self.all_landmarks_5 = [self.all_landmarks_5[center_idx]]
+
+        # pad blurry surroundings (FFHQ reflect+blur padding,
+        # face_restoration_helper.py:249-315)
+        if self.pad_blur:
+            self.pad_input_imgs = []
+            for landmarks in self.all_landmarks_5:
+                from .face_utils import ffhq_quad
+                quad, qsize = ffhq_quad(landmarks,
+                                        shrink_ratio=(1.5, 1.5))
+                border = max(int(np.rint(qsize * 0.1)), 3)
+                pad = (int(np.floor(min(quad[:, 0]))),
+                       int(np.floor(min(quad[:, 1]))),
+                       int(np.ceil(max(quad[:, 0]))),
+                       int(np.ceil(max(quad[:, 1]))))
+                pad = [max(-pad[0] + border, 1),
+                       max(-pad[1] + border, 1),
+                       max(pad[2] - self.input_img.shape[0] + border, 1),
+                       max(pad[3] - self.input_img.shape[1] + border, 1)]
+                if max(pad) > 1:
+                    pad_img = np.pad(self.input_img,
+                                     ((pad[1], pad[3]), (pad[0], pad[2]),
+                                      (0, 0)), 'reflect')
+                    landmarks[:, 0] += pad[0]
+                    landmarks[:, 1] += pad[1]
+                    h, w, _ = pad_img.shape
+                    yy, xx, _ = np.ogrid[:h, :w, :1]
+                    mask = np.maximum(
+                        1.0 - np.minimum(np.float32(xx) / pad[0],
+                                         np.float32(w - 1 - xx) / pad[2]),
+                        1.0 - np.minimum(np.float32(yy) / pad[1],
+                                         np.float32(h - 1 - yy) / pad[3]))
+                    blur = int(qsize * blur_ratio)
+                    if blur % 2 == 0:
+                        blur += 1
+                    blur_img = cv2.boxFilter(pad_img, 0,
+                                             ksize=(blur, blur))
+                    pad_img = pad_img.astype('float32')
+                    pad_img += (blur_img - pad_img) * np.clip(
+                        mask * 3.0 + 1.0, 0.0, 1.0)
+                    pad_img += (np.median(pad_img, axis=(0, 1)) - pad_img
+                                ) * np.clip(mask, 0.0, 1.0)
+                    self.pad_input_imgs.append(np.clip(pad_img, 0, 255))
+                else:
+                    self.pad_input_imgs.append(np.copy(self.input_img))
         return len(self.det_faces)
 
     def align_warp_face(self, save_cropped_path=None,
@@ -211,11 +256,14 @@ class FaceRestoreHelper:
         border = {'constant': cv2.BORDER_CONSTANT,
                   'reflect101': cv2.BORDER_REFLECT101,
                   'reflect': cv2.BORDER_REFLECT}[border_mode]
+        if self.pad_blur:
+            assert len(self.pad_input_imgs) == len(self.all_landmarks_5)
         for idx, landmark in enumerate(self.all_landmarks_5):
             affine_matrix = cv2.estimateAffinePartial2D(
                 landmark, self.face_template, method=cv2.LMEDS)[0]
             self.affine_matrices.append(affine_matrix)
-            input_img = self.input_img
+            input_img = (self.pad_input_imgs[idx] if self.pad_blur
+                         else self.input_img)
             cropped_face = cv2.warpAffine(
                 input_img, affine_matrix, self.face_size,
                 borderMode=border, borderValue=(135, 133, 132))

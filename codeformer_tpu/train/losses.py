@@ -105,3 +105,41 @@ def r1_penalty(real_grad: jax.Array) -> jax.Array:
     """R1 gradient penalty given d(D)/d(real) (losses.py:390-404)."""
     g = real_grad.astype(jnp.float32)
     return jnp.mean(jnp.sum(g * g, axis=(1, 2, 3)))
+
+
+def g_path_regularize(fake_img_fn, latents, mean_path_length,
+                      rng, decay: float = 0.01):
+    """StyleGAN2 path-length regularizer (losses.py:407-416): penalizes
+    variance of ||J^T n|| where n is image-shaped noise. `fake_img_fn` maps
+    latents -> images so the JVP/VJP is taken here."""
+    fake_img, vjp_fn = jax.vjp(fake_img_fn, latents)
+    h, w = fake_img.shape[1:3]
+    noise = jax.random.normal(rng, fake_img.shape) / jnp.sqrt(h * w)
+    (grad,) = vjp_fn(noise)
+    path_lengths = jnp.sqrt(jnp.mean(
+        jnp.sum(grad.astype(jnp.float32) ** 2, axis=-1), axis=1))
+    path_mean = mean_path_length + decay * (
+        jnp.mean(path_lengths) - mean_path_length)
+    path_penalty = jnp.mean(
+        (path_lengths - jax.lax.stop_gradient(path_mean)) ** 2)
+    return path_penalty, jax.lax.stop_gradient(path_mean), path_lengths
+
+
+def gradient_penalty_loss(disc_fn, real_data, fake_data, rng,
+                          weight=None):
+    """WGAN-GP interpolated gradient penalty (losses.py:419-455).
+    disc_fn: images -> critic scores."""
+    alpha = jax.random.uniform(rng, (real_data.shape[0], 1, 1, 1))
+    interpolates = alpha * real_data + (1.0 - alpha) * fake_data
+
+    def critic_sum(x):
+        return jnp.sum(disc_fn(x))
+
+    grad = jax.grad(critic_sum)(interpolates).astype(jnp.float32)
+    if weight is not None:
+        grad = grad * weight
+    penalty = jnp.mean(
+        (jnp.sqrt(jnp.sum(grad ** 2, axis=(1, 2, 3)) + 1e-12) - 1.0) ** 2)
+    if weight is not None:
+        penalty = penalty / jnp.mean(weight)
+    return penalty

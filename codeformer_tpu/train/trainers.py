@@ -155,6 +155,82 @@ def _merge_subtree(params: Dict, pretrained: Dict, keys) -> Dict:
 
 
 @MODEL_REGISTRY.register()
+class SRModel(BaseTrainer):
+    """Generic supervised SR trainer (basicsr/models/sr_model.py): net_g
+    with pixel (+ perceptual) losses, single Adam, EMA, PSNR/SSIM
+    validation via the metric registry."""
+
+    def _build(self):
+        opt = self.opt
+        self.net_g = build_network(opt['network_g'])
+        self.has_perceptual = 'perceptual_opt' in self.train_opt
+        if self.has_perceptual:
+            from .perceptual import build_perceptual_loss
+            self.cri_perceptual = build_perceptual_loss(
+                self.train_opt['perceptual_opt'])
+        else:
+            self.cri_perceptual = None
+        pix = dict(self.train_opt.get('pixel_opt')
+                   or {'type': 'L1Loss', 'loss_weight': 1.0})
+        self.pixel_weight = pix.get('loss_weight', 1.0)
+        self.pixel_type = pix.get('type', 'L1Loss')
+
+        self.schedule_g = build_schedule(
+            self.train_opt, self.train_opt['optim_g']['lr'])
+        self.opt_g_tx = build_optimizer(self.train_opt['optim_g'],
+                                        self.schedule_g)
+        in_size = self.opt.get('datasets', {}).get('train', {}).get(
+            'gt_size', 64)
+        from codeformer_tpu.utils.checkpoint import init_params_fast
+        sample = jnp.zeros((1, in_size, in_size, 3), jnp.float32)
+        vars_g = init_params_fast(self.net_g, sample)
+        params_g = self._load_pretrain() or vars_g['params']
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params_g=params_g,
+            params_g_ema=jax.tree.map(jnp.asarray, params_g),
+            opt_g=self.opt_g_tx.init(params_g))
+        self._step = jax.jit(self._make_step())
+
+    def _pixel_loss(self, out, gt):
+        from .losses import charbonnier_loss, mse_loss
+        if self.pixel_type == 'MSELoss':
+            return mse_loss(out, gt, loss_weight=self.pixel_weight)
+        if self.pixel_type == 'CharbonnierLoss':
+            return charbonnier_loss(out, gt, loss_weight=self.pixel_weight)
+        return l1_loss(out, gt, loss_weight=self.pixel_weight)
+
+    def _make_step(self):
+        def loss_fn(params_g, batch):
+            out = self.net_g.apply({'params': params_g}, batch['lq'])
+            out = out[0] if isinstance(out, tuple) else out
+            l_pix = self._pixel_loss(out, batch['gt'])
+            total = l_pix
+            metrics = {'l_pix': l_pix}
+            if self.cri_perceptual:
+                l_percep = self.cri_perceptual(out, batch['gt'])
+                total = total + l_percep
+                metrics['l_percep'] = l_percep
+            return total, metrics
+
+        def step(state: TrainState, batch):
+            (total, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params_g, batch)
+            updates, opt_g = self.opt_g_tx.update(grads, state.opt_g,
+                                                  state.params_g)
+            params_g = optax.apply_updates(state.params_g, updates)
+            params_g_ema = ema_update(state.params_g_ema, params_g,
+                                      self.ema_decay or 0.999)
+            metrics['l_total'] = total
+            return TrainState(state.step + 1, params_g, params_g_ema,
+                              opt_g), metrics
+        return step
+
+    def optimize_parameters(self, current_iter: int):
+        self.state, metrics = self._step(self.state, self.batch)
+        self.log_dict = {k: float(v) for k, v in metrics.items()}
+
+
+@MODEL_REGISTRY.register()
 class VQGANModel(BaseTrainer):
     """Stage I: VQGAN GAN training (vqgan_model.py).
 
