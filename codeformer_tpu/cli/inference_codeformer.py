@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help='Run with random weights (smoke testing only).')
     p.add_argument('--batch', type=int, default=8,
                    help='Max faces per device batch. Default: 8')
+    p.add_argument('--profile', action='store_true',
+                   help='Print per-stage timings at the end (use '
+                        'CODEFORMER_TPU_TRACE=<dir> for a device trace).')
     return p
 
 
@@ -117,12 +120,22 @@ def main(argv=None):
         n_layers=9, connect_list=('32', '64', '128', '256'),
         batch_buckets=(1, 2, 4, args.batch))
 
-    if args.has_aligned:
-        run_aligned(args, input_img_list, result_root, restorer)
-    else:
-        from .whole_image import run_whole_images
-        run_whole_images(args, input_img_list, result_root, restorer,
-                         input_video, video_meta=video_meta)
+    import contextlib
+    trace_dir = os.environ.get('CODEFORMER_TPU_TRACE')
+    trace_ctx = contextlib.nullcontext()
+    if args.profile and trace_dir:
+        from codeformer_tpu.utils.profiler import jax_trace
+        trace_ctx = jax_trace(trace_dir)
+    with trace_ctx:
+        if args.has_aligned:
+            run_aligned(args, input_img_list, result_root, restorer)
+        else:
+            from .whole_image import run_whole_images
+            run_whole_images(args, input_img_list, result_root, restorer,
+                             input_video, video_meta=video_meta)
+    if args.profile:
+        from codeformer_tpu.utils.profiler import TIMER
+        print('\n' + TIMER.report())
 
     print(f'\nAll results are saved in {result_root}')
 

@@ -77,8 +77,11 @@ class CodeFormerRestorer:
         """uint8 BGR face crops (face_size^2) -> restored uint8 BGR faces.
 
         enable_fuse defaults to (w > 0), the reference's structural gate
-        (codeformer_arch.py:276).
+        (codeformer_arch.py:276). On per-chunk failure the inputs pass
+        through unchanged, mirroring the reference's runtime guard
+        (inference_codeformer.py:203-211).
         """
+        from codeformer_tpu.utils.profiler import stage
         if enable_fuse is None:
             enable_fuse = w > 0
         out: List[np.ndarray] = []
@@ -86,7 +89,13 @@ class CodeFormerRestorer:
         faces = list(faces_bgr)
         for i in range(0, len(faces), max_b):
             chunk = faces[i:i + max_b]
-            out.extend(self._restore_chunk(chunk, w, adain, enable_fuse))
+            try:
+                with stage('restore_batch'):
+                    out.extend(self._restore_chunk(chunk, w, adain,
+                                                   enable_fuse))
+            except Exception as error:  # passthrough fallback
+                print(f'\tFailed inference for CodeFormer: {error}')
+                out.extend(chunk)
         return out
 
     def _restore_chunk(self, chunk, w, adain, enable_fuse):
