@@ -29,9 +29,10 @@ def gaussian_blur(img: jax.Array, ksize: int,
     """Separable Gaussian blur of an NHWC batch with REFLECT_101 borders
     (cv2.GaussianBlur default border)."""
     k = jnp.asarray(gaussian_kernel1d(ksize, sigma))
-    pad = ksize // 2
+    # cv2 anchor convention: left/top pad = k//2, right/bottom = k-1-k//2
+    p0, p1 = ksize // 2, ksize - 1 - ksize // 2
     c = img.shape[-1]
-    x = jnp.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    x = jnp.pad(img, ((0, 0), (p0, p1), (p0, p1), (0, 0)),
                 mode='reflect')
     kh = jnp.tile(k.reshape(ksize, 1, 1, 1), (1, 1, 1, c))
     kw = jnp.tile(k.reshape(1, ksize, 1, 1), (1, 1, 1, c))
@@ -51,11 +52,11 @@ def erode(mask: jax.Array, ksize: int) -> jax.Array:
     element (cv2.erode semantics): min-pool. NHWC float."""
     orig_dtype = mask.dtype
     m = mask.astype(jnp.float32)
-    pad = ksize // 2
+    p0, p1 = ksize // 2, ksize - 1 - ksize // 2
     out = -jax.lax.reduce_window(
         -m, -jnp.inf, jax.lax.max,
         (1, ksize, ksize, 1), (1, 1, 1, 1),
-        [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+        [(0, 0), (p0, p1), (p0, p1), (0, 0)])
     return out.astype(orig_dtype)
 
 
@@ -63,8 +64,8 @@ def dilate(mask: jax.Array, ksize: int) -> jax.Array:
     """Morphological dilation (max-pool). NHWC float."""
     orig_dtype = mask.dtype
     m = mask.astype(jnp.float32)
-    pad = ksize // 2
+    p0, p1 = ksize // 2, ksize - 1 - ksize // 2
     out = jax.lax.reduce_window(
         m, -jnp.inf, jax.lax.max, (1, ksize, ksize, 1), (1, 1, 1, 1),
-        [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+        [(0, 0), (p0, p1), (p0, p1), (0, 0)])
     return out.astype(orig_dtype)

@@ -36,8 +36,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _nearest_code_pallas(z_flat: jax.Array, codebook: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _nearest_code_pallas(z_flat: jax.Array, codebook: jax.Array,
+                         interpret: bool = False) -> jax.Array:
     """Fused Pallas TPU kernel: per-tile distance matrix + argmin.
 
     Tokens are tiled (TILE_T, D) into VMEM; the codebook (K, D) stays resident
@@ -77,6 +78,7 @@ def _nearest_code_pallas(z_flat: jax.Array, codebook: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec((tile_t, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pad_t, 1), jnp.int32),
+        interpret=interpret,
     )(z_pad, e.T, e_sq)
     return out[:n_tok, 0]
 

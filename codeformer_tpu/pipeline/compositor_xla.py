@@ -1,0 +1,133 @@
+"""On-device paste-back compositor — batched XLA version of
+FaceRestoreHelper.paste_faces_to_input_image (face_restoration_helper.py:
+372-516).
+
+All heavy work (inverse warps of faces + masks, erosions, Gaussian
+soft-edges, parse-mask shaping, alpha compositing) runs in ONE jit graph
+per (canvas-bucket, n-faces-bucket, edge-kernel) configuration:
+
+  * warps: ops.geometry.warp_affine (gather-based bilinear)
+  * erosions: min-pool (ops.filters.erode)
+  * fusion edge: the reference sizes its erosion/blur kernels from the
+    warped face area (a runtime value). We compute the area host-side from
+    the affine determinant (area = face_h*face_w*|det A^-1| — no device
+    round trip) and quantize the edge width to multiples of 8, capped at
+    64, so kernel sizes stay static and the compile set stays small.
+    The quantization shifts the soft edge by <=4px under a 100+px-wide
+    blur — visually identical, documented deviation from cv2 parity.
+  * faces composite sequentially (later faces overwrite, like the
+    reference's loop) via lax.fori_loop over a fixed faces axis.
+
+The cv2 compositor (face_helper.paste_faces_to_input_image) remains the
+pixel-parity default; select this one with compositor='xla'.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codeformer_tpu.ops.filters import erode, gaussian_blur
+from codeformer_tpu.ops.geometry import warp_affine
+
+MASK_COLORMAP = jnp.asarray(
+    [0, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+     0, 255, 0, 0, 0], jnp.float32)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=64)
+def _build_graph(canvas_hw: Tuple[int, int], n_faces: int,
+                 face_size: int, upscale: int, w_edge: int,
+                 use_parse: bool):
+    """One compiled compositor for a (canvas, faces, edge-width) config."""
+    hc, wc = canvas_hw
+    k_erode = max(int(2 * upscale), 1)
+    erosion_radius = max(w_edge * 2, 1)
+    blur_size = w_edge * 2 + 1
+
+    def run(canvas, faces, inv_affines, parse_ids):
+        # canvas: (hc, wc, 3) f32; faces: (N, fs, fs, 3) f32 0-255;
+        # inv_affines: (N, 2, 3); parse_ids: (N, 512, 512) int32
+        inv_restored = warp_affine(faces, inv_affines, (hc, wc))
+        ones = jnp.ones((n_faces, face_size, face_size, 1), jnp.float32)
+        inv_mask = warp_affine(ones, inv_affines, (hc, wc))
+        inv_mask_erosion = erode(inv_mask, k_erode)
+        pasted = inv_mask_erosion * inv_restored
+
+        inv_mask_center = erode(inv_mask_erosion, erosion_radius)
+        inv_soft_mask = gaussian_blur(inv_mask_center, blur_size)
+
+        if use_parse:
+            pm = MASK_COLORMAP[parse_ids][..., None]  # (N,512,512,1)
+            pm = gaussian_blur(pm, 101, 11)
+            pm = gaussian_blur(pm, 101, 11)
+            thres = 10
+            pm = pm.at[:, :thres, :].set(0).at[:, -thres:, :].set(0)
+            pm = pm.at[:, :, :thres].set(0).at[:, :, -thres:].set(0)
+            pm = pm / 255.0
+            if face_size != 512:
+                pm = jax.image.resize(
+                    pm, (n_faces, face_size, face_size, 1), 'linear')
+            inv_parse = warp_affine(pm, inv_affines, (hc, wc))
+            fuse = (inv_parse < inv_soft_mask).astype(jnp.float32)
+            inv_soft_mask = inv_parse * fuse + inv_soft_mask * (1 - fuse)
+
+        def body(i, acc):
+            return (inv_soft_mask[i] * pasted[i]
+                    + (1 - inv_soft_mask[i]) * acc)
+
+        return jax.lax.fori_loop(0, n_faces, body, canvas)
+
+    return jax.jit(run)
+
+
+def paste_faces_xla(upsample_img: np.ndarray,
+                    restored_faces: List[np.ndarray],
+                    inverse_affines: List[np.ndarray],
+                    parse_ids: Optional[np.ndarray],
+                    upscale: int) -> np.ndarray:
+    """Host wrapper: buckets shapes, quantizes edge widths, runs the
+    compiled compositor, returns uint8 BGR."""
+    if not restored_faces:
+        return upsample_img.astype(np.uint8)
+    h, w = upsample_img.shape[:2]
+    hc, wc = _round_up(h, 128), _round_up(w, 128)
+    n = len(restored_faces)
+    nb = 1 << max(0, (n - 1).bit_length())  # next pow2 bucket
+    face_size = restored_faces[0].shape[0]
+
+    faces = np.zeros((nb, face_size, face_size, 3), np.float32)
+    affines = np.zeros((nb, 2, 3), np.float32)
+    # park padded faces off-canvas so their masks never touch it
+    affines[:, 0, 2] = -4 * face_size
+    affines[:, 0, 0] = affines[:, 1, 1] = 1.0
+    pids = np.zeros((nb, 512, 512), np.int32)
+    areas = []
+    for i, (f, a) in enumerate(zip(restored_faces, inverse_affines)):
+        faces[i] = f[..., ::-1].astype(np.float32)  # BGR->RGB
+        affines[i] = a
+        det = abs(a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0])
+        areas.append(face_size * face_size * det)
+        if parse_ids is not None:
+            pids[i] = parse_ids[i]
+    # single quantized edge width for the batch (max face governs)
+    w_edge = int(max(areas) ** 0.5) // 20
+    w_edge = min(max((w_edge + 4) // 8 * 8, 4), 64)
+
+    canvas = np.zeros((hc, wc, 3), np.float32)
+    canvas[:h, :w] = upsample_img[..., ::-1].astype(np.float32)
+
+    fn = _build_graph((hc, wc), nb, face_size, int(upscale), w_edge,
+                      parse_ids is not None)
+    out = np.asarray(fn(jnp.asarray(canvas), jnp.asarray(faces),
+                        jnp.asarray(affines), jnp.asarray(pids)))
+    out = np.clip(out[:h, :w], 0, 255).astype(np.uint8)
+    return out[..., ::-1]  # RGB->BGR

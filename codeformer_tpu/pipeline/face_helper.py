@@ -72,7 +72,9 @@ class FaceRestoreHelper:
                  save_ext: str = 'png', template_3points: bool = False,
                  pad_blur: bool = False, use_parse: bool = False,
                  device=None, allow_random_weights: bool = False,
-                 detector: Optional[FaceDetector] = None):
+                 detector: Optional[FaceDetector] = None,
+                 compositor: str = 'cv2'):
+        self.compositor = compositor  # 'cv2' (pixel parity) | 'xla'
         self.template_3points = template_3points
         self.upscale_factor = int(upscale_factor)
         self.crop_ratio = crop_ratio
@@ -313,6 +315,10 @@ class FaceRestoreHelper:
 
         assert len(self.restored_faces) == len(self.inverse_affine_matrices)
 
+        use_xla = (self.compositor == 'xla' and face_upsampler is None
+                   and not draw_box and upsample_img.ndim == 3
+                   and upsample_img.shape[2] == 3
+                   and np.max(upsample_img) <= 256)
         if self.use_parse and self.restored_faces:
             # batched device parsing (the reference parses per face)
             if face_upsampler is not None:
@@ -326,6 +332,23 @@ class FaceRestoreHelper:
         else:
             faces_for_parse = self.restored_faces
             parse_ids = [None] * len(self.restored_faces)
+
+        if use_xla:
+            from .compositor_xla import paste_faces_xla
+            inv_affines = []
+            for inverse_affine in self.inverse_affine_matrices:
+                ia = inverse_affine.copy()
+                if self.upscale_factor > 1:
+                    ia[:, 2] += 0.5 * self.upscale_factor
+                inv_affines.append(ia)
+            out = paste_faces_xla(
+                upsample_img, self.restored_faces, inv_affines,
+                parse_ids if self.use_parse else None,
+                self.upscale_factor)
+            if save_path is not None:
+                path = os.path.splitext(save_path)[0]
+                imwrite(out, f'{path}.{self.save_ext}')
+            return out
 
         inv_mask_borders = []
         upsample_img = upsample_img.astype(np.float32)

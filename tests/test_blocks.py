@@ -92,3 +92,15 @@ def test_vqae_roundtrip_shapes():
     rec, closs, stats = v.apply(params, x)
     assert rec.shape == x.shape
     assert stats['min_encoding_indices'].shape == (2 * 16 * 16,)
+
+
+def test_pallas_quantizer_interpret_matches_xla():
+    """The Pallas argmin-L2 kernel (interpret mode on CPU) must select the
+    same codes as the XLA path."""
+    from codeformer_tpu.ops.vq import _nearest_code_pallas
+    rng = np.random.default_rng(7)
+    z = jnp.asarray(rng.normal(size=(300, 256)), jnp.float32)
+    cb = jnp.asarray(rng.normal(size=(1024, 256)), jnp.float32)
+    ref = nearest_code_indices(z, cb, use_pallas=False)
+    out = _nearest_code_pallas(z, cb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -1,0 +1,57 @@
+"""XLA compositor vs the cv2 reference compositor on synthetic faces."""
+import cv2
+import numpy as np
+import pytest
+
+from codeformer_tpu.pipeline.face_helper import FaceRestoreHelper, \
+    MASK_COLORMAP
+
+
+def _synthetic_case(use_parse):
+    rng = np.random.default_rng(0)
+    img = rng.uniform(40, 200, (200, 260, 3)).astype(np.uint8)
+    face = rng.uniform(0, 255, (512, 512, 3)).astype(np.uint8)
+    # a similarity transform face -> image region
+    affine = np.array([[0.25, 0.0, 40.0], [0.0, 0.25, 50.0]], np.float32)
+    inverse_affine = cv2.invertAffineTransform(
+        np.array([[4.0, 0.0, -160.0], [0.0, 4.0, -200.0]], np.float32))
+    # i.e. face occupies img[50:178, 40:168]
+    parse = np.zeros((512, 512), np.int32)
+    parse[100:400, 100:400] = 1  # 'skin' class -> mask 255
+    return img, face, inverse_affine, parse
+
+
+class _Stub(FaceRestoreHelper):
+    """Bypass model loading: compositor-only harness."""
+
+    def __init__(self, upscale, use_parse, compositor):
+        self.compositor = compositor
+        self.upscale_factor = upscale
+        self.use_parse = use_parse
+        self.face_size = (512, 512)
+        self.save_ext = 'png'
+        self.restored_faces = []
+        self.inverse_affine_matrices = []
+
+    def _parse_masks(self, faces):
+        return np.stack([self._parse for _ in faces])
+
+
+@pytest.mark.parametrize('use_parse', [False, True])
+def test_xla_compositor_close_to_cv2(use_parse):
+    img, face, inverse_affine, parse = _synthetic_case(use_parse)
+    outs = {}
+    for compositor in ('cv2', 'xla'):
+        h = _Stub(1, use_parse, compositor)
+        h.input_img = img
+        h.restored_faces = [face.copy()]
+        h.inverse_affine_matrices = [inverse_affine.copy()]
+        h._parse = parse
+        outs[compositor] = h.paste_faces_to_input_image().astype(
+            np.float32)
+    diff = np.abs(outs['cv2'] - outs['xla'])
+    # identical away from the quantized soft edge; small mean deviation
+    assert diff.mean() < 2.0, diff.mean()
+    assert np.median(diff) == 0.0
+    # untouched background must be identical
+    np.testing.assert_array_equal(outs['cv2'][0:20], outs['xla'][0:20])
