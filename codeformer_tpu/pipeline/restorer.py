@@ -35,9 +35,17 @@ class CodeFormerRestorer:
                  connect_list: Sequence[str] = ('32', '64', '128', '256'),
                  dtype=jnp.bfloat16, face_size: int = 512,
                  batch_buckets: Sequence[int] = (1, 2, 4, 8, 16),
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — the
+        face batch is sharded across it (multi-chip serving); buckets are
+        rounded up to multiples of the data-axis size."""
         setup_jax()  # persistent compilation cache
         self.face_size = face_size
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.shape['data']
+            batch_buckets = sorted({max(b // n, 1) * n
+                                    for b in batch_buckets} | {n})
         self.batch_buckets = sorted(batch_buckets)
         self.model = CodeFormer(dim_embd=dim_embd,
                                 codebook_size=codebook_size, n_head=n_head,
@@ -61,7 +69,19 @@ class CodeFormerRestorer:
             out = jnp.clip(out.astype(jnp.float32), -1.0, 1.0)
             return jnp.round((out + 1.0) * 127.5).astype(jnp.uint8)
 
-        self._fwd = jax.jit(_fwd, static_argnames=('adain', 'enable_fuse'))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._fwd = jax.jit(
+                _fwd, static_argnames=('adain', 'enable_fuse'),
+                in_shardings=(NamedSharding(mesh, P()),
+                              NamedSharding(mesh, P('data')),
+                              NamedSharding(mesh, P())),
+                out_shardings=NamedSharding(mesh, P('data')))
+            self.variables = jax.device_put(
+                self.variables, NamedSharding(mesh, P()))
+        else:
+            self._fwd = jax.jit(_fwd,
+                                static_argnames=('adain', 'enable_fuse'))
 
     def _bucket(self, n: int) -> int:
         for b in self.batch_buckets:

@@ -78,7 +78,18 @@ def load_checkpoint(path: str, param_key: str | None = None
                     ) -> Dict[str, Any]:
     """Load inference weights from either our msgpack format or a reference
     torch .pth checkpoint (converted on the fly)."""
-    if path.endswith(('.pth', '.pt', '.ckpt')):
+    if path.endswith(('.pth', '.pt')):
         from .convert import load_torch_checkpoint
         return load_torch_checkpoint(path, param_key)
-    return load_params(path)
+    tree = load_params(path)
+    # our native net_*.ckpt hold {'params', 'params_ema'} — serve EMA by
+    # default like the reference (base_model.py:250-253)
+    if param_key is not None and param_key in tree:
+        return {'params': tree[param_key]}
+    if 'params_ema' in tree:
+        return {'params': tree['params_ema']}
+    if 'params' in tree:
+        return {'params': tree['params'],
+                **({'batch_stats': tree['batch_stats']}
+                   if 'batch_stats' in tree else {})}
+    return tree
