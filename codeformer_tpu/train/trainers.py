@@ -288,9 +288,20 @@ class VQGANModel(BaseTrainer):
         self._step = jax.jit(self._make_step())
 
     def _make_step(self):
-        def losses(params_g, params_d, d_stats, gt):
-            out, l_codebook, stats = self.net_g.apply({'params': params_g},
-                                                      gt)
+        is_gumbel = self.opt['network_g'].get('quantizer') == 'gumbel'
+
+        def losses(params_g, params_d, d_stats, gt, temperature, rng):
+            if is_gumbel:
+                # temperature anneal handled by caller
+                # (vqgan_model.py:120-123)
+                out, l_codebook, stats = self.net_g.apply(
+                    {'params': params_g}, gt, temperature=temperature,
+                    train=True, rngs={'gumbel': rng})
+                stats = dict(stats)
+                stats.setdefault('perplexity', jnp.zeros(()))
+            else:
+                out, l_codebook, stats = self.net_g.apply(
+                    {'params': params_g}, gt)
             l_codebook = l_codebook * self.l_weight_codebook
             l_pix = l1_loss(out, gt)
             l_percep = (self.cri_perceptual(out, gt)
@@ -307,9 +318,14 @@ class VQGANModel(BaseTrainer):
             return (recon, l_gan, l_codebook), aux
 
         def step(state: TrainState, gt, current_iter):
+            # gumbel temperature: max(1/16, 1 - iter/160000)
+            temperature = jnp.maximum(
+                1.0 / 16, 1.0 - current_iter.astype(jnp.float32) / 160000)
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), current_iter)
             (vals, vjp_fn, aux) = jax.vjp(
                 functools.partial(losses, params_d=state.params_d,
-                                  d_stats=state.d_stats, gt=gt),
+                                  d_stats=state.d_stats, gt=gt,
+                                  temperature=temperature, rng=rng),
                 state.params_g, has_aux=True)
             recon, l_gan, l_code = vals
             g_rc = vjp_fn((1.0, 0.0, 1.0))[0]

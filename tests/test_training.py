@@ -167,3 +167,25 @@ def test_codeformer_stage3_joint_trains(tmp_path, tiny_dataset):
     log = model.log_dict
     assert np.isfinite(log['l_g_total'])
     assert 'd_weight' in log and np.isfinite(log['d_weight'])
+
+
+def test_vqgan_gumbel_trains(tmp_path, tiny_dataset):
+    """Stage-I with the Gumbel quantizer (temperature-annealed)."""
+    from codeformer_tpu.data import build_dataset
+    from codeformer_tpu.data.loader import build_dataloader
+    from codeformer_tpu.train.trainers import build_model
+
+    opt = _base_opt(tmp_path, 'stage1_gumbel_smoke', tiny_dataset)
+    opt['model_type'] = 'VQGANModel'
+    opt['network_g'] = dict(TINY_VQGAN, quantizer='gumbel')
+    opt['network_d'] = {'type': 'VQGANDiscriminator', 'nc': 3, 'ndf': 32,
+                        'n_layers': 2}
+    opt['train']['net_d_start_iter'] = 1
+
+    model = build_model(opt)
+    ds = build_dataset(opt['datasets']['train'])
+    loader = build_dataloader(ds, opt['datasets']['train'])
+    for i, batch in enumerate(_make_batches(loader, 2), start=1):
+        model.feed_data(batch)
+        model.optimize_parameters(i)
+    assert np.isfinite(model.log_dict['l_g_total'])
