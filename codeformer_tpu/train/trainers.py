@@ -76,7 +76,25 @@ class BaseTrainer:
         self.log_dict: Dict[str, float] = {}
         self.train_opt = opt.get('train', {})
         self.ema_decay = self.train_opt.get('ema_decay', 0.0)
+        self._setup_mesh()
         self._build()
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.mesh, P()))
+
+    def _setup_mesh(self):
+        """Data-parallel mesh over all local devices (the DDP analog).
+        Disable with opt['num_devices'] = 1."""
+        self.mesh = None
+        n = len(jax.devices())
+        want = self.opt.get('num_devices')
+        if n > 1 and (want is None or want > 1):
+            from codeformer_tpu.parallel import create_mesh
+            self.mesh = create_mesh(min(n, want or n), model_parallel=1)
+            self.logger.info(
+                f'data-parallel mesh over {self.mesh.shape["data"]} '
+                f'devices')
 
     # ------------------------ checkpoint IO -------------------------
     def _net_path(self, name: str, current_iter) -> str:
@@ -136,8 +154,28 @@ class BaseTrainer:
 
     # --------------------------- API --------------------------------
     def feed_data(self, data: Dict):
-        self.batch = {k: jnp.asarray(v) for k, v in data.items()
-                      if not isinstance(v, list)}
+        """Stage a batch; with a mesh, shard it on the data axis (the
+        per-device split DDP gets from its sampler). Batches whose leading
+        dim does not divide the mesh are padded by repetition."""
+        batch = {k: np.asarray(v) for k, v in data.items()
+                 if not isinstance(v, list)}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n = self.mesh.shape['data']
+            b = next(iter(batch.values())).shape[0]
+            if b % n:
+                target = -(-b // n) * n
+                reps = -(-target // b)
+                batch = {k: np.concatenate([v] * reps)[:target]
+                         for k, v in batch.items()}
+            batch = {
+                k: jax.device_put(
+                    v, NamedSharding(self.mesh,
+                                     P('data', *([None] * (v.ndim - 1)))))
+                for k, v in batch.items()}
+            self.batch = batch
+        else:
+            self.batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     def get_current_log(self):
         return dict(self.log_dict)

@@ -53,6 +53,7 @@ def test_sr_model_trains(tmp_path):
     from codeformer_tpu.train.trainers import build_model
     opt = {
         'name': 'sr_smoke', 'model_type': 'SRModel', 'is_train': True,
+        'num_devices': 1,
         'datasets': {'train': {'gt_size': 32}},
         'network_g': {'type': 'RRDBNet', 'num_in_ch': 3, 'num_out_ch': 3,
                       'scale': 1, 'num_feat': 16, 'num_block': 1,

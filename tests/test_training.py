@@ -24,6 +24,7 @@ def _base_opt(tmp_path, name, dataset_root):
     return {
         'name': name,
         'manual_seed': 0,
+        'num_devices': 1,  # single-device (the DP test overrides this)
         'is_train': True,
         'datasets': {'train': {
             'name': 'tiny', 'type': 'FFHQBlindDataset',
@@ -189,3 +190,37 @@ def test_vqgan_gumbel_trains(tmp_path, tiny_dataset):
         model.feed_data(batch)
         model.optimize_parameters(i)
     assert np.isfinite(model.log_dict['l_g_total'])
+
+
+def test_trainer_auto_data_parallel(tmp_path, tiny_dataset):
+    """On a multi-device backend, trainers shard the batch automatically
+    and produce the same result as a single-device run."""
+    import jax
+    from codeformer_tpu.data import build_dataset
+    from codeformer_tpu.data.loader import build_dataloader
+    from codeformer_tpu.train.trainers import build_model
+
+    assert len(jax.devices()) == 8  # conftest virtual devices
+
+    def run(num_devices, name):
+        opt = _base_opt(tmp_path, name, tiny_dataset)
+        opt['model_type'] = 'VQGANModel'
+        opt['datasets']['train']['seed'] = 123  # deterministic degradations
+        opt['num_devices'] = num_devices
+        opt['network_g'] = dict(TINY_VQGAN)
+        opt['network_d'] = {'type': 'VQGANDiscriminator', 'nc': 3,
+                            'ndf': 32, 'n_layers': 2}
+        opt['train']['net_d_start_iter'] = 0
+        # SGD-free comparison: losses only (one step)
+        model = build_model(opt)
+        ds = build_dataset(opt['datasets']['train'])
+        loader = build_dataloader(ds, opt['datasets']['train'])
+        batch = _make_batches(loader, 1)[0]
+        model.feed_data(batch)
+        model.optimize_parameters(1)
+        return model.log_dict['l_g_total'], batch
+
+    # identical dataset order (epoch-seeded sampler) -> identical batch
+    loss_multi, _ = run(8, 'dp_multi')
+    loss_single, _ = run(1, 'dp_single')
+    np.testing.assert_allclose(loss_multi, loss_single, rtol=1e-4)
