@@ -74,6 +74,23 @@ def init_params_fast(model, *sample_args, seed: int = 0,
     return jax.tree_util.tree_map_with_path(fill, shapes)
 
 
+def save_orbax(variables: Dict[str, Any], path: str):
+    """Orbax backend: sharded/async-capable checkpointing for large or
+    multi-host training states (the production alternative to msgpack;
+    SURVEY §5 checkpoint/resume)."""
+    import orbax.checkpoint as ocp
+    from flax import serialization as ser
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), ser.to_state_dict(variables),
+               force=True)
+
+
+def load_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
 def load_checkpoint(path: str, param_key: str | None = None
                     ) -> Dict[str, Any]:
     """Load inference weights from either our msgpack format or a reference
