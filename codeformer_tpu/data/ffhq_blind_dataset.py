@@ -13,7 +13,7 @@ from __future__ import annotations
 import math
 import os
 import os.path as osp
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import cv2
 import numpy as np

@@ -3,7 +3,6 @@ brush_stroke_mask / random_ff_mask)."""
 from __future__ import annotations
 
 import math
-import random
 from typing import Tuple
 
 import numpy as np

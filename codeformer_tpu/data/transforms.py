@@ -2,7 +2,6 @@
 from __future__ import annotations
 
 import random
-from typing import List, Sequence, Tuple, Union
 
 import cv2
 import numpy as np
@@ -100,7 +99,6 @@ def duf_downsample(x, kernel_size: int = 13, scale: int = 4):
     """Blur+downsample used by DUF-style VSR (reference
     basicsr/data/data_util.py:277-307): Gaussian blur (sigma 0.4*scale)
     then stride-`scale` sampling. x: NHWC jax/numpy array."""
-    import jax
     import jax.numpy as jnp
     from codeformer_tpu.ops.filters import gaussian_blur
     assert scale in (2, 3, 4), f'Only support scale (2, 3, 4), got {scale}'

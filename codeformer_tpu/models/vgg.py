@@ -8,7 +8,7 @@ torchvision-format vgg19 state dict ('features.0.weight', ...).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,12 +9,10 @@ model_3/cv1/conv/kernel) so yolov5{n,l}-face.pth convert mechanically.
 """
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from codeformer_tpu.utils.registry import ARCH_REGISTRY

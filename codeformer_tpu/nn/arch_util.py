@@ -3,8 +3,7 @@ initializers, flow warping, pixel unshuffle, and the DCNv2 pack module used
 by EDVR-style alignment."""
 from __future__ import annotations
 
-import math
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

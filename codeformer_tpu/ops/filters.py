@@ -5,10 +5,6 @@ mask pipeline can run batched on device.
 """
 from __future__ import annotations
 
-import functools
-import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,8 +8,7 @@ both the crop (image -> 512x512 face) and the inverse paste-back warp.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

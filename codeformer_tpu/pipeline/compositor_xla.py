@@ -24,7 +24,6 @@ pixel-parity default; select this one with compositor='xla'.
 from __future__ import annotations
 
 import functools
-import math
 from typing import List, Optional, Tuple
 
 import jax

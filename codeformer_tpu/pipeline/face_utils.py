@@ -7,7 +7,7 @@ dataset-preparation tools, not the hot path.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import cv2
 import numpy as np

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from codeformer_tpu.models import CodeFormer
-from codeformer_tpu.utils import img_util
 from codeformer_tpu.utils.checkpoint import init_params_fast, load_checkpoint
 from codeformer_tpu.utils.misc import setup_jax
 

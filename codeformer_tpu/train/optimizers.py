@@ -6,7 +6,7 @@ fix_modules (codeformer_arch.py:172-175): masked leaves get zero updates.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import optax
 

@@ -6,7 +6,6 @@ the linear warmup of base_model.py:144-165.
 """
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax.numpy as jnp

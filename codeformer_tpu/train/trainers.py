@@ -16,7 +16,6 @@ anchor layer come from the same forward residuals.
 from __future__ import annotations
 
 import functools
-import os
 import os.path as osp
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -25,8 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from codeformer_tpu.models import (CodeFormer, VQAutoEncoder,
-                                   VQGANDiscriminator, build_network)
+from codeformer_tpu.models import build_network
 from codeformer_tpu.utils.checkpoint import (load_checkpoint, load_params,
                                              save_params)
 from codeformer_tpu.utils.logger import get_root_logger

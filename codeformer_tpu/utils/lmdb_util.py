@@ -4,13 +4,11 @@ Gated on the lmdb package (not in this image); the packer logic is complete
 so it works wherever lmdb is installed."""
 from __future__ import annotations
 
-import os
 import os.path as osp
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import cv2
-import numpy as np
 
 
 def make_lmdb_from_imgs(data_path: str, lmdb_path: str,
