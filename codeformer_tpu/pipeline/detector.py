@@ -133,6 +133,23 @@ class FaceDetector:
         out = out[(cx < w) & (cy < h)]
         return out
 
+    def align_multi(self, img_bgr: np.ndarray, conf_threshold: float = 0.8,
+                    limit: Optional[int] = None):
+        """Detect + warp each face to the canonical 112x112 crop
+        (reference retinaface.py:241-264 align_multi)."""
+        from .align_trans import get_reference_facial_points, \
+            warp_and_crop_face
+        det = self.detect_faces(img_bgr, conf_threshold)
+        if limit:
+            det = det[:limit]
+        reference = get_reference_facial_points(default_square=True)
+        faces = []
+        for row in det:
+            landmark = row[5:15].reshape(5, 2)
+            faces.append(warp_and_crop_face(
+                img_bgr, landmark, reference, crop_size=(112, 112)))
+        return det[:, :5], faces
+
     def batched_detect_faces(self, frames, conf_threshold: float = 0.8,
                              nms_threshold: float = 0.4):
         """Detect over a batch of SAME-SIZE frames (the video path,

@@ -63,6 +63,27 @@ def init_tb_logger(log_dir: str):
     return SummaryWriter(log_dir=log_dir)
 
 
+def init_wandb_logger(opt):
+    """wandb in tb-sync mode (reference logger.py:84-102). Gated: wandb is
+    not installed in this image."""
+    try:
+        import wandb
+    except ImportError:
+        get_root_logger().warning('wandb unavailable; skipping')
+        return
+    logger = get_root_logger()
+    project = (opt['logger']['wandb'] or {}).get('project')
+    resume_id = (opt['logger']['wandb'] or {}).get('resume_id')
+    if resume_id:
+        wandb.init(id=resume_id, resume='allow', name=opt['name'],
+                   config=opt, project=project, sync_tensorboard=True)
+    else:
+        wandb.init(name=opt['name'], config=opt, project=project,
+                   sync_tensorboard=True)
+    logger.info(f'Use wandb logger with id={wandb.run.id}; '
+                f'project={project}.')
+
+
 def get_root_logger(logger_name: str = 'codeformer_tpu',
                     log_level: int = logging.INFO,
                     log_file: Optional[str] = None) -> logging.Logger:
