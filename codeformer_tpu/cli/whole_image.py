@@ -42,6 +42,21 @@ def run_whole_images(args, input_img_list, result_root, restorer,
     video_name = (os.path.splitext(os.path.basename(args.input_path))[0]
                   if input_video else None)
 
+    # batched fast path for videos: frames flow through each neural stage
+    # in batches (detection / restoration / parsing)
+    if input_video and bg_upsampler is None and face_upsampler is None \
+            and not args.draw_box:
+        from codeformer_tpu.pipeline.video import restore_video_frames
+        restored_frames = restore_video_frames(
+            input_img_list, restorer, face_helper, w=w,
+            upscale=args.upscale,
+            only_center_face=args.only_center_face)
+        for i, frame in enumerate(restored_frames):
+            img_util.imwrite(frame, os.path.join(
+                result_root, 'final_results', f'{i:06d}.png'))
+        _write_video(args, result_root, video_name, video_meta)
+        return
+
     for i, img_path in enumerate(input_img_list):
         face_helper.clean_all()
         if isinstance(img_path, str):
@@ -108,19 +123,23 @@ def run_whole_images(args, input_img_list, result_root, restorer,
                                           f'{save_base}.png'))
 
     if input_video:
-        from codeformer_tpu.utils.video_util import make_video_writer
-        print('Video Saving...')
-        img_list = sorted(glob.glob(
-            os.path.join(result_root, 'final_results', '*.[jp][pn]g')))
-        video_frames = [cv2.imread(p) for p in img_list]
-        height, width = video_frames[0].shape[:2]
-        fps = (video_meta or {}).get('fps', 24.0)
-        audio = (video_meta or {}).get('audio')
-        if args.save_video_fps is not None:
-            fps = args.save_video_fps
-        save_restore_path = os.path.join(result_root, f'{video_name}.mp4')
-        vidwriter = make_video_writer(save_restore_path, height, width,
-                                      fps, audio)
-        for f in video_frames:
-            vidwriter.write_frame(f)
-        vidwriter.close()
+        _write_video(args, result_root, video_name, video_meta)
+
+
+def _write_video(args, result_root, video_name, video_meta):
+    from codeformer_tpu.utils.video_util import make_video_writer
+    print('Video Saving...')
+    img_list = sorted(glob.glob(
+        os.path.join(result_root, 'final_results', '*.[jp][pn]g')))
+    video_frames = [cv2.imread(p) for p in img_list]
+    height, width = video_frames[0].shape[:2]
+    fps = (video_meta or {}).get('fps', 24.0)
+    audio = (video_meta or {}).get('audio')
+    if args.save_video_fps is not None:
+        fps = args.save_video_fps
+    save_restore_path = os.path.join(result_root, f'{video_name}.mp4')
+    vidwriter = make_video_writer(save_restore_path, height, width,
+                                  fps, audio)
+    for f in video_frames:
+        vidwriter.write_frame(f)
+    vidwriter.close()

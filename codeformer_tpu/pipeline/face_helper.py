@@ -113,6 +113,7 @@ class FaceRestoreHelper:
         self.restored_faces: List[np.ndarray] = []
         self.pad_input_imgs: List[np.ndarray] = []
         self.is_gray = False
+        self._precomputed_parse_ids = None  # batched video path
 
         from .detector import init_detection_model
         self.face_detector = detector or init_detection_model(
@@ -289,13 +290,24 @@ class FaceRestoreHelper:
         self.restored_faces.append(restored_face)
 
     def _parse_masks(self, restored_faces: List[np.ndarray]) -> np.ndarray:
-        """Batched ParseNet over all faces: (N, 512, 512) class ids."""
+        """Batched ParseNet over all faces: (N, 512, 512) class ids.
+        Chunked to a bounded device batch (512^2 activations are large)."""
         batch = np.stack([
             cv2.resize(f, (512, 512),
                        interpolation=cv2.INTER_LINEAR)[..., ::-1]
             for f in restored_faces]).astype(np.uint8)
-        out = self._parse_jit(self._parse_vars, jnp.asarray(batch))
-        return np.asarray(out)
+        chunk = 8
+        outs = []
+        for i in range(0, len(batch), chunk):
+            part = batch[i:i + chunk]
+            n = len(part)
+            if n < chunk and len(batch) > chunk:
+                part = np.concatenate(
+                    [part, np.zeros((chunk - n, 512, 512, 3), np.uint8)])
+            out = np.asarray(self._parse_jit(self._parse_vars,
+                                             jnp.asarray(part)))
+            outs.append(out[:n])
+        return np.concatenate(outs)
 
     def paste_faces_to_input_image(self, save_path=None, upsample_img=None,
                                    draw_box=False, face_upsampler=None):
@@ -319,7 +331,11 @@ class FaceRestoreHelper:
                    and not draw_box and upsample_img.ndim == 3
                    and upsample_img.shape[2] == 3
                    and np.max(upsample_img) <= 256)
-        if self.use_parse and self.restored_faces:
+        if self.use_parse and self.restored_faces and \
+                self._precomputed_parse_ids is not None:
+            faces_for_parse = self.restored_faces
+            parse_ids = self._precomputed_parse_ids
+        elif self.use_parse and self.restored_faces:
             # batched device parsing (the reference parses per face)
             if face_upsampler is not None:
                 faces_for_parse = [
