@@ -13,7 +13,15 @@ from codeformer_tpu.models.rrdbnet import pixel_unshuffle  # re-export
 from codeformer_tpu.ops.deform_conv import modulated_deform_conv2d
 
 __all__ = ['default_init_weights', 'scaled_kaiming_init', 'trunc_normal_',
-           'flow_warp', 'pixel_unshuffle', 'DCNv2Pack', 'resize_flow']
+           'flow_warp', 'pixel_unshuffle', 'DCNv2Pack', 'resize_flow',
+           'make_layer']
+
+
+def make_layer(block_cls, num_blocks: int, **kwargs):
+    """List of `num_blocks` module instances (the flax analog of the
+    reference's Sequential factory, arch_util.py:48-60); apply them in
+    order inside the parent module."""
+    return [block_cls(**kwargs) for _ in range(num_blocks)]
 
 
 def scaled_kaiming_init(scale: float = 1.0):
