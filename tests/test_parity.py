@@ -129,3 +129,34 @@ def test_codeformer_parity_full(rng):
     if match == 1.0:
         np.testing.assert_allclose(np.asarray(out), _nhwc(ref_out),
                                    rtol=1e-2, atol=1e-3)
+
+
+def test_converter_tree_structure_matches_init():
+    """The converted torch state dict must produce exactly the parameter
+    tree flax initializes — catches silent key drift in either direction."""
+    import jax
+    t = cf_ref.CodeFormer(dim_embd=64, n_head=4, n_layers=2,
+                          codebook_size=64, latent_size=256,
+                          connect_list=['32', '64', '128', '256'],
+                          fix_modules=None)
+    converted = torch_state_dict_to_flax(t.state_dict())['params']
+    m = CodeFormer(dim_embd=64, n_head=4, n_layers=2, codebook_size=64,
+                   latent_size=256,
+                   connect_list=('32', '64', '128', '256'))
+    init_shapes = jax.eval_shape(
+        lambda: m.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 512, 512, 3)), 0.5))['params']
+
+    conv_paths = {tuple(str(getattr(p, 'key', p)) for p in path):
+                  leaf.shape for path, leaf in
+                  jax.tree_util.tree_flatten_with_path(converted)[0]}
+    init_paths = {tuple(str(getattr(p, 'key', p)) for p in path):
+                  leaf.shape for path, leaf in
+                  jax.tree_util.tree_flatten_with_path(init_shapes)[0]}
+    missing = set(init_paths) - set(conv_paths)
+    extra = set(conv_paths) - set(init_paths)
+    assert not missing, f'converter missing params: {sorted(missing)[:5]}'
+    assert not extra, f'converter produced extras: {sorted(extra)[:5]}'
+    mismatched = [k for k in init_paths
+                  if conv_paths[k] != init_paths[k]]
+    assert not mismatched, mismatched[:5]
