@@ -332,7 +332,7 @@ class FaceRestoreHelper:
                    and upsample_img.shape[2] == 3
                    and np.max(upsample_img) <= 256)
         if self.use_parse and self.restored_faces and \
-                self._precomputed_parse_ids is not None:
+                getattr(self, '_precomputed_parse_ids', None) is not None:
             faces_for_parse = self.restored_faces
             parse_ids = self._precomputed_parse_ids
         elif self.use_parse and self.restored_faces:
