@@ -60,7 +60,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help='Run with random weights (smoke testing only).')
     p.add_argument('--batch', type=int, default=8,
                    help='Max faces per device batch. Default: 8')
-    p.add_argument('--compositor', type=str, default='cv2',
+    p.add_argument('--compositor', type=str, default='xla',
                    choices=['cv2', 'xla'],
                    help='Paste-back compositor: cv2 (pixel parity with '
                         'the reference) or xla (on-device, batched).')

@@ -36,7 +36,7 @@ def run_whole_images(args, input_img_list, result_root, restorer,
         args.upscale, face_size=512, crop_ratio=(1, 1),
         det_model=args.detection_model, save_ext='png', use_parse=True,
         allow_random_weights=args.random_init,
-        compositor=getattr(args, 'compositor', 'cv2'))
+        compositor=getattr(args, 'compositor', 'xla'))
 
     w = args.fidelity_weight
     video_name = (os.path.splitext(os.path.basename(args.input_path))[0]

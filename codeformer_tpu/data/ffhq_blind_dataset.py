@@ -71,10 +71,27 @@ class FFHQBlindDataset:
             self.jpeg_range = opt['jpeg_range']
 
         self.color_jitter_prob = opt.get('color_jitter_prob')
+        self.color_jitter_pt_prob = opt.get('color_jitter_pt_prob')
         self.color_jitter_shift = opt.get('color_jitter_shift', 20) / 255.0
         self.gray_prob = opt.get('gray_prob', 0.0)
 
-        self._rng = np.random.default_rng(opt.get('seed'))
+        # per-call Generators (see _make_rng): numpy Generators are not
+        # thread-safe and the loader maps __getitem__ across a thread pool
+        self._seed = opt.get('seed')
+        if self._seed is None:
+            self._seed = int(np.random.SeedSequence().entropy) % (2 ** 63)
+        self._visit_counts: Dict[int, int] = {}
+        import threading
+        self._rng_lock = threading.Lock()
+
+    def _make_rng(self, index: int) -> np.random.Generator:
+        """Fresh Generator per __getitem__ call: thread-safe and, for a
+        fixed seed, a reproducible stream per (index, visit-number) —
+        independent of thread scheduling across indices."""
+        with self._rng_lock:
+            n = self._visit_counts.get(index, 0)
+            self._visit_counts[index] = n + 1
+        return np.random.default_rng((self._seed, index, n))
 
     def __len__(self):
         return len(self.paths)
@@ -138,7 +155,7 @@ class FFHQBlindDataset:
         return img_in
 
     def __getitem__(self, index: int) -> Dict:
-        rng = self._rng
+        rng = self._make_rng(index)
         gt_path = self.paths[index]
         name = osp.basename(gt_path)[:-4]
         img_gt = cv2.imread(gt_path, cv2.IMREAD_COLOR).astype(
@@ -168,8 +185,21 @@ class FFHQBlindDataset:
         img_in = self._colorize_augments(img_in.astype(np.float32), rng)
 
         # BGR->RGB, round/clip to the uint8 grid, normalize (NHWC stays)
-        img_in = img_in[..., ::-1]
+        img_in = np.ascontiguousarray(img_in[..., ::-1])
         img_gt_rgb = img_gt[..., ::-1]
+
+        # pt-style jitter runs on RGB, after the BGR-space augments and
+        # before the uint8 rounding (ffhq_blind_dataset.py:268-276)
+        if self.color_jitter_pt_prob is not None and \
+                rng.uniform() < self.color_jitter_pt_prob:
+            from .transforms import color_jitter_pt
+            img_in = color_jitter_pt(
+                img_in,
+                self.opt.get('brightness', (0.5, 1.5)),
+                self.opt.get('contrast', (0.5, 1.5)),
+                self.opt.get('saturation', (0, 1.5)),
+                self.opt.get('hue', (-0.1, 0.1)), rng)
+
         img_in = np.clip((img_in * 255.0).round(), 0, 255) / 255.0
         img_in = (img_in - self.mean) / self.std
         img_gt_rgb = (img_gt_rgb - self.mean) / self.std
@@ -215,7 +245,7 @@ class FFHQBlindJointDataset(FFHQBlindDataset):
                           interpolation=cv2.INTER_LINEAR)
 
     def __getitem__(self, index: int) -> Dict:
-        rng = self._rng
+        rng = self._make_rng(index)
         gt_path = self.paths[index]
         name = osp.basename(gt_path)[:-4]
         img_gt = cv2.imread(gt_path, cv2.IMREAD_COLOR).astype(

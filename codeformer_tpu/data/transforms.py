@@ -95,6 +95,83 @@ def augment(imgs, hflip: bool = True, rotation: bool = True, flows=None,
     return imgs
 
 
+# ---- torchvision-style photometric jitter (numpy, float RGB [0,1]) ----
+# Reference: FFHQBlindDataset.color_jitter_pt
+# (basicsr/data/ffhq_blind_dataset.py:124-143), which applies torchvision's
+# adjust_{brightness,contrast,saturation,hue} in a random order.
+
+def _rgb_to_gray(img: np.ndarray) -> np.ndarray:
+    return (0.2989 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2])
+
+
+def adjust_brightness(img: np.ndarray, factor: float) -> np.ndarray:
+    return np.clip(img * factor, 0.0, 1.0)
+
+
+def adjust_contrast(img: np.ndarray, factor: float) -> np.ndarray:
+    mean = _rgb_to_gray(img).mean()
+    return np.clip(factor * img + (1.0 - factor) * mean, 0.0, 1.0)
+
+
+def adjust_saturation(img: np.ndarray, factor: float) -> np.ndarray:
+    gray = _rgb_to_gray(img)[..., None]
+    return np.clip(factor * img + (1.0 - factor) * gray, 0.0, 1.0)
+
+
+def adjust_hue(img: np.ndarray, factor: float) -> np.ndarray:
+    """Shift hue by `factor` (in [-0.5, 0.5] turns), matching
+    torchvision.transforms.functional.adjust_hue's float path."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = img.max(axis=-1)
+    minc = img.min(axis=-1)
+    v = maxc
+    cr = maxc - minc
+    s = np.where(maxc > 0, cr / np.maximum(maxc, 1e-12), 0.0)
+    crd = np.where(cr > 0, cr, 1.0)
+    rc = (maxc - r) / crd
+    gc = (maxc - g) / crd
+    bc = (maxc - b) / crd
+    h = np.where(maxc == r, bc - gc,
+                 np.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = np.where(cr > 0, h, 0.0)
+    h = (h / 6.0) % 1.0
+
+    h = (h + factor) % 1.0
+
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    i = i.astype(np.int32) % 6
+    p = np.clip(v * (1.0 - s), 0.0, 1.0)
+    q = np.clip(v * (1.0 - s * f), 0.0, 1.0)
+    t = np.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
+    mask = (i[..., None] == np.arange(6))  # (..., 6)
+    r_out = np.select([mask[..., k] for k in range(6)],
+                      [v, q, p, p, t, v])
+    g_out = np.select([mask[..., k] for k in range(6)],
+                      [t, v, v, q, p, p])
+    b_out = np.select([mask[..., k] for k in range(6)],
+                      [p, p, t, v, v, q])
+    out = np.stack([r_out, g_out, b_out], axis=-1)
+    return out.astype(img.dtype)
+
+
+def color_jitter_pt(img: np.ndarray, brightness, contrast, saturation,
+                    hue, rng: np.random.Generator) -> np.ndarray:
+    """Random-order brightness/contrast/saturation/hue jitter on a float
+    RGB [0,1] HWC image (ffhq_blind_dataset.py:124-143)."""
+    for fn_id in rng.permutation(4):
+        if fn_id == 0 and brightness is not None:
+            img = adjust_brightness(img, rng.uniform(*brightness))
+        elif fn_id == 1 and contrast is not None:
+            img = adjust_contrast(img, rng.uniform(*contrast))
+        elif fn_id == 2 and saturation is not None:
+            img = adjust_saturation(img, rng.uniform(*saturation))
+        elif fn_id == 3 and hue is not None:
+            img = adjust_hue(img, rng.uniform(*hue))
+    return img
+
+
 def duf_downsample(x, kernel_size: int = 13, scale: int = 4):
     """Blur+downsample used by DUF-style VSR (reference
     basicsr/data/data_util.py:277-307): Gaussian blur (sigma 0.4*scale)

@@ -18,8 +18,10 @@ per (canvas-bucket, n-faces-bucket, edge-kernel) configuration:
   * faces composite sequentially (later faces overwrite, like the
     reference's loop) via lax.fori_loop over a fixed faces axis.
 
-The cv2 compositor (face_helper.paste_faces_to_input_image) remains the
-pixel-parity default; select this one with compositor='xla'.
+This is the default compositor; the cv2 transcription in
+face_helper.paste_faces_to_input_image remains as the pixel-parity oracle
+(compositor='cv2') and as the automatic fallback for inputs this graph
+doesn't cover (16-bit, alpha canvas, non-square crop_ratio).
 """
 from __future__ import annotations
 
@@ -45,16 +47,17 @@ def _round_up(x: int, m: int) -> int:
 @functools.lru_cache(maxsize=64)
 def _build_graph(canvas_hw: Tuple[int, int], n_faces: int,
                  face_size: int, upscale: int, w_edge: int,
-                 use_parse: bool):
+                 use_parse: bool, draw_box: bool):
     """One compiled compositor for a (canvas, faces, edge-width) config."""
     hc, wc = canvas_hw
     k_erode = max(int(2 * upscale), 1)
     erosion_radius = max(w_edge * 2, 1)
     blur_size = w_edge * 2 + 1
 
-    def run(canvas, faces, inv_affines, parse_ids):
+    def run(canvas, faces, inv_affines, parse_ids, border_masks):
         # canvas: (hc, wc, 3) f32; faces: (N, fs, fs, 3) f32 0-255;
-        # inv_affines: (N, 2, 3); parse_ids: (N, 512, 512) int32
+        # inv_affines: (N, 2, 3); parse_ids: (N, 512, 512) int32;
+        # border_masks: (N, fs, fs, 1) f32 (zeros unless draw_box)
         inv_restored = warp_affine(faces, inv_affines, (hc, wc))
         ones = jnp.ones((n_faces, face_size, face_size, 1), jnp.float32)
         inv_mask = warp_affine(ones, inv_affines, (hc, wc))
@@ -83,7 +86,20 @@ def _build_graph(canvas_hw: Tuple[int, int], n_faces: int,
             return (inv_soft_mask[i] * pasted[i]
                     + (1 - inv_soft_mask[i]) * acc)
 
-        return jax.lax.fori_loop(0, n_faces, body, canvas)
+        out = jax.lax.fori_loop(0, n_faces, body, canvas)
+
+        if draw_box:
+            # green box overlay after all faces (reference
+            # face_restoration_helper.py:505-512); green = (0,255,0) in
+            # both BGR and RGB so no channel flip is needed
+            inv_borders = warp_affine(border_masks, inv_affines, (hc, wc))
+            green = jnp.asarray([0.0, 255.0, 0.0], jnp.float32)
+
+            def body_box(i, acc):
+                return inv_borders[i] * green + (1 - inv_borders[i]) * acc
+
+            out = jax.lax.fori_loop(0, n_faces, body_box, out)
+        return out
 
     return jax.jit(run)
 
@@ -92,7 +108,7 @@ def paste_faces_xla(upsample_img: np.ndarray,
                     restored_faces: List[np.ndarray],
                     inverse_affines: List[np.ndarray],
                     parse_ids: Optional[np.ndarray],
-                    upscale: int) -> np.ndarray:
+                    upscale: int, draw_box: bool = False) -> np.ndarray:
     """Host wrapper: buckets shapes, quantizes edge widths, runs the
     compiled compositor, returns uint8 BGR."""
     if not restored_faces:
@@ -109,14 +125,24 @@ def paste_faces_xla(upsample_img: np.ndarray,
     affines[:, 0, 2] = -4 * face_size
     affines[:, 0, 0] = affines[:, 1, 1] = 1.0
     pids = np.zeros((nb, 512, 512), np.int32)
+    borders = np.zeros((nb, face_size, face_size, 1), np.float32)
     areas = []
     for i, (f, a) in enumerate(zip(restored_faces, inverse_affines)):
         faces[i] = f[..., ::-1].astype(np.float32)  # BGR->RGB
         affines[i] = a
         det = abs(a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0])
-        areas.append(face_size * face_size * det)
+        area = face_size * face_size * det
+        areas.append(area)
         if parse_ids is not None:
             pids[i] = parse_ids[i]
+        if draw_box:
+            # border width from the warped-face area (det approximation of
+            # the reference's eroded-mask sum, like w_edge below)
+            border = int(1400 / np.sqrt(max(area, 1.0)))
+            if border > 0:
+                borders[i, :, :] = 1.0
+                borders[i, border:face_size - border,
+                        border:face_size - border] = 0.0
     # single quantized edge width for the batch (max face governs)
     w_edge = int(max(areas) ** 0.5) // 20
     w_edge = min(max((w_edge + 4) // 8 * 8, 4), 64)
@@ -125,8 +151,9 @@ def paste_faces_xla(upsample_img: np.ndarray,
     canvas[:h, :w] = upsample_img[..., ::-1].astype(np.float32)
 
     fn = _build_graph((hc, wc), nb, face_size, int(upscale), w_edge,
-                      parse_ids is not None)
+                      parse_ids is not None, draw_box)
     out = np.asarray(fn(jnp.asarray(canvas), jnp.asarray(faces),
-                        jnp.asarray(affines), jnp.asarray(pids)))
+                        jnp.asarray(affines), jnp.asarray(pids),
+                        jnp.asarray(borders)))
     out = np.clip(out[:h, :w], 0, 255).astype(np.uint8)
     return out[..., ::-1]  # RGB->BGR

@@ -77,9 +77,10 @@ class FaceDetector:
         self.variables = jax.device_put(self.variables)
         self._jitted = {}
 
-    def _graph(self, hw: Tuple[int, int]):
-        if hw in self._jitted:
-            return self._jitted[hw]
+    def _graph(self, hw: Tuple[int, int], max_faces: int):
+        key = (hw, max_faces)
+        if key in self._jitted:
+            return self._jitted[key]
         h, w = hw
         priors = jnp.asarray(prior_boxes(h, w))
         scale_b = jnp.asarray([w, h, w, h], jnp.float32)
@@ -98,19 +99,24 @@ class FaceDetector:
             top_boxes = boxes[top_idx]
             top_landms = landms[top_idx]
             keep, valid = nms(top_boxes, top_scores, nms_threshold,
-                              self.max_faces)
+                              max_faces)
             out = jnp.concatenate([
                 top_boxes[keep], top_scores[keep][:, None],
                 top_landms[keep]], axis=1)
             return out, valid
 
         fn = jax.jit(run)
-        self._jitted[hw] = fn
+        self._jitted[key] = fn
         return fn
 
     @staticmethod
     def _bucket(size: int, step: int = 64) -> int:
         return int(math.ceil(size / step) * step)
+
+    # largest max_faces bucket tried before warning (the reference has no
+    # cap at all — retinaface.py:194-239; beyond this we'd rather warn
+    # than compile ever-larger NMS graphs)
+    MAX_FACES_CEILING = 512
 
     def detect_faces(self, img_bgr: np.ndarray,
                      conf_threshold: float = 0.8,
@@ -119,11 +125,25 @@ class FaceDetector:
         hb, wb = self._bucket(h), self._bucket(w)
         padded = np.zeros((hb, wb, 3), np.float32)
         padded[:h, :w] = img_bgr.astype(np.float32)
-        fn = self._graph((hb, wb))
-        out, valid = fn(self.variables, jnp.asarray(padded),
-                        jnp.float32(conf_threshold),
-                        jnp.float32(nms_threshold))
-        out = np.asarray(out)[np.asarray(valid)]
+        # escalate to a larger keep-bucket when NMS saturates, so crowd
+        # photos never silently lose detections
+        max_f = self.max_faces
+        while True:
+            fn = self._graph((hb, wb), max_f)
+            out, valid = fn(self.variables, jnp.asarray(padded),
+                            jnp.float32(conf_threshold),
+                            jnp.float32(nms_threshold))
+            valid = np.asarray(valid)
+            if valid.all() and max_f < self.MAX_FACES_CEILING:
+                max_f = min(max_f * 4, self.MAX_FACES_CEILING)
+                continue
+            if valid.all():
+                import warnings
+                warnings.warn(
+                    f'detection kept {max_f} faces and may still be '
+                    f'truncated (MAX_FACES_CEILING={self.MAX_FACES_CEILING})')
+            break
+        out = np.asarray(out)[valid]
         out = out[np.isfinite(out).all(axis=1)]
         if out.size == 0:
             return np.zeros((0, 15), np.float32)
@@ -161,12 +181,19 @@ class FaceDetector:
         hb, wb = self._bucket(h), self._bucket(w)
         padded = np.zeros((b, hb, wb, 3), np.float32)
         padded[:, :h, :w] = frames.astype(np.float32)
-        fn = self._batch_graph((hb, wb), b)
-        outs, valids = fn(self.variables, jnp.asarray(padded),
-                          jnp.float32(conf_threshold),
-                          jnp.float32(nms_threshold))
+        max_f = self.max_faces
+        while True:
+            fn = self._batch_graph((hb, wb), b, max_f)
+            outs, valids = fn(self.variables, jnp.asarray(padded),
+                              jnp.float32(conf_threshold),
+                              jnp.float32(nms_threshold))
+            valids = np.asarray(valids)
+            # any saturated frame may be truncated -> larger keep-bucket
+            if valids.all(axis=1).any() and max_f < self.MAX_FACES_CEILING:
+                max_f = min(max_f * 4, self.MAX_FACES_CEILING)
+                continue
+            break
         outs = np.asarray(outs)
-        valids = np.asarray(valids)
         results = []
         for i in range(b):
             det = outs[i][valids[i]]
@@ -178,8 +205,9 @@ class FaceDetector:
             results.append(det.reshape(-1, 15))
         return results
 
-    def _batch_graph(self, hw, batch):
-        key = (hw, batch)
+    def _batch_graph(self, hw, batch, max_faces=None):
+        max_faces = max_faces or self.max_faces
+        key = (hw, batch, max_faces)
         if key in self._jitted:
             return self._jitted[key]
         h, w = hw
@@ -197,7 +225,7 @@ class FaceDetector:
             k = min(self.pre_nms_topk, scores.shape[0])
             top_scores, top_idx = jax.lax.top_k(scores, k)
             keep, valid = nms(boxes[top_idx], top_scores, nms_threshold,
-                              self.max_faces)
+                              max_faces)
             out = jnp.concatenate([
                 boxes[top_idx][keep], top_scores[keep][:, None],
                 landms[top_idx][keep]], axis=1)
@@ -242,9 +270,10 @@ class YoloFaceDetector:
         self.variables = jax.device_put(self.variables)
         self._jitted = {}
 
-    def _graph(self, hw):
-        if hw in self._jitted:
-            return self._jitted[hw]
+    def _graph(self, hw, max_faces: int):
+        key = (hw, max_faces)
+        if key in self._jitted:
+            return self._jitted[key]
 
         def run(variables, img01, conf_threshold, nms_threshold):
             pred = self.model.apply(variables, img01[None])[0]  # (N, 16)
@@ -257,14 +286,14 @@ class YoloFaceDetector:
             top_boxes = boxes[top_idx]
             top_landms = pred[top_idx, 5:15]
             keep, valid = nms(top_boxes, top_scores, nms_threshold,
-                              self.max_faces)
+                              max_faces)
             out = jnp.concatenate([
                 top_boxes[keep], top_scores[keep][:, None],
                 top_landms[keep]], axis=1)
             return out, valid
 
         fn = jax.jit(run)
-        self._jitted[hw] = fn
+        self._jitted[key] = fn
         return fn
 
     def detect_faces(self, img_bgr: np.ndarray,
@@ -275,11 +304,18 @@ class YoloFaceDetector:
         wb = FaceDetector._bucket(w, 32)
         padded = np.full((hb, wb, 3), 114 / 255.0, np.float32)
         padded[:h, :w] = img_bgr[..., ::-1].astype(np.float32) / 255.0
-        fn = self._graph((hb, wb))
-        out, valid = fn(self.variables, jnp.asarray(padded),
-                        jnp.float32(conf_threshold),
-                        jnp.float32(nms_threshold))
-        out = np.asarray(out)[np.asarray(valid)]
+        max_f = self.max_faces
+        while True:
+            fn = self._graph((hb, wb), max_f)
+            out, valid = fn(self.variables, jnp.asarray(padded),
+                            jnp.float32(conf_threshold),
+                            jnp.float32(nms_threshold))
+            valid = np.asarray(valid)
+            if valid.all() and max_f < FaceDetector.MAX_FACES_CEILING:
+                max_f = min(max_f * 4, FaceDetector.MAX_FACES_CEILING)
+                continue
+            break
+        out = np.asarray(out)[valid]
         out = out[np.isfinite(out).all(axis=1)]
         if out.size == 0:
             return np.zeros((0, 15), np.float32)

@@ -3,10 +3,11 @@
 Behavioral spec: facelib/utils/face_restoration_helper.py:54-525 (FFHQ
 5-point template, detect -> filter -> align-warp -> restore -> parse-guided
 paste-back). The neural stages (detector, parser, restorer) run as jitted
-batched device graphs; the per-face geometry/morphology of the compositor
-runs host-side with cv2 for exact pixel parity with the reference (the cost
-is negligible next to the model forwards; an all-XLA compositor using
-ops/geometry+filters is the planned next optimization).
+batched device graphs, and the paste-back compositor defaults to the
+batched on-device XLA graph (compositor_xla.py). The cv2 transcription of
+the reference's per-face geometry/morphology is kept as the pixel-parity
+oracle (compositor='cv2') and as the automatic fallback for inputs the
+XLA graph doesn't cover.
 """
 from __future__ import annotations
 
@@ -73,8 +74,12 @@ class FaceRestoreHelper:
                  pad_blur: bool = False, use_parse: bool = False,
                  device=None, allow_random_weights: bool = False,
                  detector: Optional[FaceDetector] = None,
-                 compositor: str = 'cv2'):
-        self.compositor = compositor  # 'cv2' (pixel parity) | 'xla'
+                 compositor: str = 'xla'):
+        # 'xla' (default: the on-device batched compositor) | 'cv2' (the
+        # pixel-parity oracle transcribed from the reference). The helper
+        # falls back to cv2 automatically for inputs the XLA graph doesn't
+        # cover (16-bit, alpha canvas, non-square crop_ratio).
+        self.compositor = compositor
         self.template_3points = template_3points
         self.upscale_factor = int(upscale_factor)
         self.crop_ratio = crop_ratio
@@ -327,26 +332,27 @@ class FaceRestoreHelper:
 
         assert len(self.restored_faces) == len(self.inverse_affine_matrices)
 
-        use_xla = (self.compositor == 'xla' and face_upsampler is None
-                   and not draw_box and upsample_img.ndim == 3
+        use_xla = (self.compositor == 'xla' and upsample_img.ndim == 3
                    and upsample_img.shape[2] == 3
-                   and np.max(upsample_img) <= 256)
+                   and np.max(upsample_img) <= 256
+                   and self.face_size[0] == self.face_size[1])
+        # reference upsamples every restored face before pasting,
+        # independent of use_parse (face_restoration_helper.py:386-391)
+        upsampled_faces = None
+        if face_upsampler is not None and self.restored_faces:
+            upsampled_faces = [
+                face_upsampler.enhance(f, outscale=self.upscale_factor)[0]
+                for f in self.restored_faces]
+
         if self.use_parse and self.restored_faces and \
                 getattr(self, '_precomputed_parse_ids', None) is not None:
-            faces_for_parse = self.restored_faces
             parse_ids = self._precomputed_parse_ids
         elif self.use_parse and self.restored_faces:
-            # batched device parsing (the reference parses per face)
-            if face_upsampler is not None:
-                faces_for_parse = [
-                    face_upsampler.enhance(
-                        f, outscale=self.upscale_factor)[0]
-                    for f in self.restored_faces]
-            else:
-                faces_for_parse = self.restored_faces
-            parse_ids = self._parse_masks(faces_for_parse)
+            # batched device parsing (the reference parses per face, on the
+            # upsampled face when a face_upsampler is given)
+            parse_ids = self._parse_masks(upsampled_faces
+                                          or self.restored_faces)
         else:
-            faces_for_parse = self.restored_faces
             parse_ids = [None] * len(self.restored_faces)
 
         if use_xla:
@@ -354,13 +360,20 @@ class FaceRestoreHelper:
             inv_affines = []
             for inverse_affine in self.inverse_affine_matrices:
                 ia = inverse_affine.copy()
-                if self.upscale_factor > 1:
+                if face_upsampler is not None:
+                    # upsampled faces: rescale the linear part, keep the
+                    # translation at output scale (reference :387-390)
+                    ia = ia / self.upscale_factor
+                    ia[:, 2] *= self.upscale_factor
+                elif self.upscale_factor > 1:
                     ia[:, 2] += 0.5 * self.upscale_factor
                 inv_affines.append(ia)
+            faces = (upsampled_faces if face_upsampler is not None
+                     else self.restored_faces)
             out = paste_faces_xla(
-                upsample_img, self.restored_faces, inv_affines,
+                upsample_img, faces, inv_affines,
                 parse_ids if self.use_parse else None,
-                self.upscale_factor)
+                self.upscale_factor, draw_box=draw_box)
             if save_path is not None:
                 path = os.path.splitext(save_path)[0]
                 imwrite(out, f'{path}.{self.save_ext}')
@@ -371,7 +384,7 @@ class FaceRestoreHelper:
         for i, (restored_face, inverse_affine) in enumerate(
                 zip(self.restored_faces, self.inverse_affine_matrices)):
             if face_upsampler is not None:
-                restored_face = faces_for_parse[i]
+                restored_face = upsampled_faces[i]
                 inverse_affine = inverse_affine / self.upscale_factor
                 inverse_affine[:, 2] *= self.upscale_factor
                 face_size = (self.face_size[0] * self.upscale_factor,

@@ -65,9 +65,22 @@ class RealESRGANer:
         self._jfwd = jax.jit(_fwd)
 
     def _process_whole(self, img01: np.ndarray) -> np.ndarray:
+        # mod-pad to a multiple of scale: the scale-2 model pixel-unshuffles
+        # its input, so odd dims would fail (ref RealESRGANer.pre_process
+        # mod_pad, realesrgan_utils.py:79-87)
+        h, w = img01.shape[:2]
+        mod = self.scale
+        ph = (mod - h % mod) % mod
+        pw = (mod - w % mod) % mod
+        if ph or pw:
+            img01 = np.pad(img01, ((0, ph), (0, pw), (0, 0)),
+                           mode='reflect')
         out = np.asarray(self._jfwd(self.variables,
                                     jnp.asarray(img01[None])))
-        return out[0].astype(np.float32) / 255.0
+        out = out[0].astype(np.float32) / 255.0
+        if ph or pw:
+            out = out[:h * self.scale, :w * self.scale]
+        return out
 
     def _process_tiled(self, img01: np.ndarray) -> np.ndarray:
         h, w, c = img01.shape

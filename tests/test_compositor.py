@@ -37,6 +37,55 @@ class _Stub(FaceRestoreHelper):
         return np.stack([self._parse for _ in faces])
 
 
+class _FakeUpsampler:
+    """Stands in for RealESRGANer.enhance: plain resize by outscale."""
+
+    def enhance(self, img, outscale=2):
+        h, w = img.shape[:2]
+        out = cv2.resize(img, (int(w * outscale), int(h * outscale)),
+                         interpolation=cv2.INTER_LINEAR)
+        return out, 'RGB'
+
+
+def test_xla_compositor_draw_box_close_to_cv2():
+    img, face, inverse_affine, parse = _synthetic_case(False)
+    outs = {}
+    for compositor in ('cv2', 'xla'):
+        h = _Stub(1, False, compositor)
+        h.input_img = img
+        h.restored_faces = [face.copy()]
+        h.inverse_affine_matrices = [inverse_affine.copy()]
+        outs[compositor] = h.paste_faces_to_input_image(
+            draw_box=True).astype(np.float32)
+    # green box must be present in both
+    for out in outs.values():
+        assert (out[:, :, 1] == 255).sum() > 100
+    diff = np.abs(outs['cv2'] - outs['xla'])
+    # area comes from the affine determinant in the XLA path (vs the
+    # eroded-mask sum in cv2) -> the border may shift by ~1px
+    assert diff.mean() < 3.0, diff.mean()
+    assert np.median(diff) == 0.0
+
+
+@pytest.mark.parametrize('use_parse', [False, True])
+def test_xla_compositor_face_upsampler_close_to_cv2(use_parse):
+    img, face, inverse_affine, parse = _synthetic_case(use_parse)
+    ups = _FakeUpsampler()
+    outs = {}
+    for compositor in ('cv2', 'xla'):
+        h = _Stub(2, use_parse, compositor)
+        h.input_img = img
+        h.restored_faces = [face.copy()]
+        h.inverse_affine_matrices = [inverse_affine.copy() * 2]
+        h._parse = parse
+        outs[compositor] = h.paste_faces_to_input_image(
+            face_upsampler=ups).astype(np.float32)
+    assert outs['cv2'].shape == outs['xla'].shape == (400, 520, 3)
+    diff = np.abs(outs['cv2'] - outs['xla'])
+    assert diff.mean() < 2.0, diff.mean()
+    assert np.median(diff) == 0.0
+
+
 @pytest.mark.parametrize('use_parse', [False, True])
 def test_xla_compositor_close_to_cv2(use_parse):
     img, face, inverse_affine, parse = _synthetic_case(use_parse)
