@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=['cv2', 'xla'],
                    help='Paste-back compositor: cv2 (pixel parity with '
                         'the reference) or xla (on-device, batched).')
+    p.add_argument('--fused_pipeline', action='store_true',
+                   help='Video path: run the fused device-resident '
+                        'pipeline (pipeline/device_pipeline.py) — frames '
+                        'stay in HBM between detect/align/restore/parse/'
+                        'composite. Requires a retinaface detector.')
     p.add_argument('--profile', action='store_true',
                    help='Print per-stage timings at the end (use '
                         'CODEFORMER_TPU_TRACE=<dir> for a device trace).')
@@ -169,7 +174,10 @@ def _read_video_frames(path):
             break
         frames.append(frame)
     cap.release()
-    return frames, {'fps': fps, 'audio': None}
+    # cv2 cannot demux audio, but the source path is still recorded: the
+    # ffmpeg writer muxes from it with '-map 1:a?' (missing audio is
+    # non-fatal), and the cv2 fallback writer warns that audio is dropped
+    return frames, {'fps': fps, 'audio': path}
 
 
 if __name__ == '__main__':

@@ -1,17 +1,24 @@
 """Whole-image / video restoration path: detect -> align -> batched restore
 -> parse-guided paste-back (reference main loop:
-inference_codeformer.py:160-272)."""
+inference_codeformer.py:160-272).
+
+TPU-first restructuring: the reference restores image-by-image and
+face-by-face; here the neural stages batch ACROSS files — all faces from
+the whole folder flow through CodeFormer and ParseNet in bucketed batches
+(like pipeline/video.py batches across frames), and only the host-side
+read/detect/align/paste bookkeeping stays per image.
+"""
 from __future__ import annotations
 
 import glob
 import os
-import sys
 
 import cv2
 import numpy as np
 
 from codeformer_tpu.pipeline.face_helper import FaceRestoreHelper
 from codeformer_tpu.utils import img_util
+from codeformer_tpu.utils.profiler import stage
 
 
 def run_whole_images(args, input_img_list, result_root, restorer,
@@ -46,64 +53,124 @@ def run_whole_images(args, input_img_list, result_root, restorer,
     # in batches (detection / restoration / parsing)
     if input_video and bg_upsampler is None and face_upsampler is None \
             and not args.draw_box:
-        from codeformer_tpu.pipeline.video import restore_video_frames
-        restored_frames = restore_video_frames(
-            input_img_list, restorer, face_helper, w=w,
-            upscale=args.upscale,
-            only_center_face=args.only_center_face)
+        if getattr(args, 'fused_pipeline', False):
+            # everything device-resident between stages (HBM-to-HBM)
+            from codeformer_tpu.pipeline.device_pipeline import \
+                DeviceRestorePipeline
+            pipe = DeviceRestorePipeline(
+                restorer, face_helper, upscale=args.upscale, w=w,
+                only_center_face=args.only_center_face)
+            restored_frames = pipe.restore_frames(input_img_list)
+        else:
+            from codeformer_tpu.pipeline.video import restore_video_frames
+            restored_frames = restore_video_frames(
+                input_img_list, restorer, face_helper, w=w,
+                upscale=args.upscale,
+                only_center_face=args.only_center_face)
         for i, frame in enumerate(restored_frames):
             img_util.imwrite(frame, os.path.join(
                 result_root, 'final_results', f'{i:06d}.png'))
         _write_video(args, result_root, video_name, video_meta)
         return
 
-    for i, img_path in enumerate(input_img_list):
+    # ---- pass 1 (per image): read + detect + align, collect all faces ----
+    records = []
+    all_faces = []
+    with stage('folder_detect_align'):
+        for i, img_path in enumerate(input_img_list):
+            face_helper.clean_all()
+            if isinstance(img_path, str):
+                img_name = os.path.basename(img_path)
+                basename, ext = os.path.splitext(img_name)
+                print(f'[{i + 1}/{len(input_img_list)}] '
+                      f'Processing: {img_name}')
+                img = cv2.imread(img_path, cv2.IMREAD_COLOR)
+            else:
+                basename = str(i).zfill(6)
+                img_name = f'{video_name}_{basename}' if input_video \
+                    else basename
+                print(f'[{i + 1}/{len(input_img_list)}] '
+                      f'Processing: {img_name}')
+                img = img_path
+
+            face_helper.read_image(img)
+            num_det_faces = face_helper.get_face_landmarks_5(
+                only_center_face=args.only_center_face, resize=640,
+                eye_dist_threshold=5)
+            print(f'\tdetect {num_det_faces} faces')
+            face_helper.align_warp_face()
+            face_helper.get_inverse_affine(None)
+
+            records.append({
+                'basename': basename,
+                'input_img': face_helper.input_img,
+                'is_gray': face_helper.is_gray,
+                'cropped': list(face_helper.cropped_faces),
+                'inv_affines': list(face_helper.inverse_affine_matrices),
+                'start': len(all_faces),
+            })
+            all_faces.extend(face_helper.cropped_faces)
+
+    # ---- pass 2: ONE bucketed restoration stream over every face ----
+    with stage('folder_restore'):
+        restored_all = restorer.restore_batch(all_faces, w=w, adain=True) \
+            if all_faces else []
+
+    # ---- pass 3: per-face gray adaptation, then one parsing stream ----
+    processed = []
+    for rec in records:
+        n = len(rec['cropped'])
         face_helper.clean_all()
-        if isinstance(img_path, str):
-            img_name = os.path.basename(img_path)
-            basename, ext = os.path.splitext(img_name)
-            print(f'[{i + 1}/{len(input_img_list)}] Processing: {img_name}')
-            img = cv2.imread(img_path, cv2.IMREAD_COLOR)
-        else:
-            basename = str(i).zfill(6)
-            img_name = f'{video_name}_{basename}' if input_video \
-                else basename
-            print(f'[{i + 1}/{len(input_img_list)}] Processing: {img_name}')
-            img = img_path
+        face_helper.is_gray = rec['is_gray']
+        for j in range(n):
+            face_helper.add_restored_face(
+                restored_all[rec['start'] + j], rec['cropped'][j])
+        rec['restored'] = list(face_helper.restored_faces)
+        processed.extend(face_helper.restored_faces)
 
-        face_helper.read_image(img)
-        num_det_faces = face_helper.get_face_landmarks_5(
-            only_center_face=args.only_center_face, resize=640,
-            eye_dist_threshold=5)
-        print(f'\tdetect {num_det_faces} faces')
-        face_helper.align_warp_face()
+    # precompute parse masks across ALL files in one stream; with a
+    # face_upsampler the reference parses the UPSAMPLED face, so leave
+    # parsing to the per-image paste call in that case
+    parse_ids_all = None
+    if face_helper.use_parse and processed and face_upsampler is None:
+        with stage('folder_parse'):
+            parse_ids_all = face_helper._parse_masks(processed)
 
-        # batched restoration of ALL faces in this image (the reference
-        # loops one by one — inference_codeformer.py:197-213)
-        if face_helper.cropped_faces:
-            restored = restorer.restore_batch(
-                face_helper.cropped_faces, w=w, adain=True)
-            for cropped_face, restored_face in zip(
-                    face_helper.cropped_faces, restored):
-                face_helper.add_restored_face(restored_face, cropped_face)
+    # ---- pass 4 (per image): background upsample + paste + save ----
+    for rec in records:
+        face_helper.clean_all()
+        face_helper.input_img = rec['input_img']
+        face_helper.is_gray = rec['is_gray']
+        face_helper.restored_faces = rec['restored']
+        face_helper.inverse_affine_matrices = rec['inv_affines']
+        basename = rec['basename']
+        n = len(rec['cropped'])
 
-        # paste back
         if bg_upsampler is not None:
-            bg_img = bg_upsampler.enhance(img, outscale=args.upscale)[0]
+            with stage('folder_bg_upsample'):
+                bg_img = bg_upsampler.enhance(
+                    rec['input_img'], outscale=args.upscale)[0]
         else:
             bg_img = None
-        face_helper.get_inverse_affine(None)
-        if args.face_upsample and face_upsampler is not None:
-            restored_img = face_helper.paste_faces_to_input_image(
-                upsample_img=bg_img, draw_box=args.draw_box,
-                face_upsampler=face_upsampler)
-        else:
-            restored_img = face_helper.paste_faces_to_input_image(
-                upsample_img=bg_img, draw_box=args.draw_box)
+
+        if parse_ids_all is not None:
+            face_helper._precomputed_parse_ids = \
+                parse_ids_all[rec['start']:rec['start'] + n]
+        try:
+            with stage('folder_paste'):
+                if args.face_upsample and face_upsampler is not None:
+                    restored_img = face_helper.paste_faces_to_input_image(
+                        upsample_img=bg_img, draw_box=args.draw_box,
+                        face_upsampler=face_upsampler)
+                else:
+                    restored_img = face_helper.paste_faces_to_input_image(
+                        upsample_img=bg_img, draw_box=args.draw_box)
+        finally:
+            face_helper._precomputed_parse_ids = None
 
         # save faces
         for idx, (cropped_face, restored_face) in enumerate(zip(
-                face_helper.cropped_faces, face_helper.restored_faces)):
+                rec['cropped'], rec['restored'])):
             save_crop_path = os.path.join(result_root, 'cropped_faces',
                                           f'{basename}_{idx:02d}.png')
             img_util.imwrite(cropped_face, save_crop_path)

@@ -77,6 +77,46 @@ def bivariate_plateau(kernel_size: int, sig_x: float,
     return (k / k.sum()).astype(np.float32)
 
 
+def bivariate_skew_gaussian_center(kernel_size: int, sig_x: float,
+                                   sig_y: float, theta: float,
+                                   d_skew: np.ndarray) -> np.ndarray:
+    """Skew-normal kernel (pdf * skewed standard-normal cdf), re-centered
+    on its mass center with nearest-padding shift
+    (gaussian_kernels.py:70-136, Shi et al. 2004)."""
+    from scipy.ndimage import shift as nd_shift
+    from scipy.stats import multivariate_normal
+    xy = _mesh_grid(kernel_size)
+    sigma = _sigma_matrix(sig_x, sig_y, theta)
+    inv = np.linalg.inv(sigma)
+    pdf = np.exp(-0.5 * np.einsum('hwi,ij,hwj->hw', xy, inv, xy))
+    rv = multivariate_normal([0, 0], [[1, 0], [0, 1]])
+    cdf = rv.cdf(xy @ np.asarray(d_skew, np.float64))
+    k = pdf * cdf
+    k = k / k.sum()
+    # mass-center shift (gaussian_kernels.py:98-110)
+    ax = np.arange(-kernel_size // 2 + 1.0, kernel_size // 2 + 1.0)
+    col_sum, row_sum = k.sum(axis=0), k.sum(axis=1)
+    delta_h = row_sum @ ax
+    delta_w = col_sum @ ax
+    k = nd_shift(k, [-delta_h, -delta_w], mode='nearest')
+    return (k / k.sum()).astype(np.float32)
+
+
+def random_bivariate_skew_gaussian_center(
+        kernel_size, sigma_x_range, sigma_y_range, rotation_range,
+        rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Random skew kernel: skew matrix D ~ U(-3/sigma_max, 3/sigma_max)
+    (gaussian_kernels.py:259-305)."""
+    rng = rng or np.random.default_rng()
+    sig_x = rng.uniform(*sigma_x_range)
+    sig_y = rng.uniform(*sigma_y_range)
+    theta = rng.uniform(*rotation_range)
+    thres = 3.0 / max(sig_x, sig_y)
+    d_skew = rng.uniform(-thres, thres, (2, 2))
+    return bivariate_skew_gaussian_center(kernel_size, sig_x, sig_y,
+                                          theta, d_skew)
+
+
 def random_bivariate_gaussian(kernel_size, sigma_x_range, sigma_y_range,
                               rotation_range, isotropic=True,
                               rng: Optional[np.random.Generator] = None):
@@ -84,7 +124,9 @@ def random_bivariate_gaussian(kernel_size, sigma_x_range, sigma_y_range,
     sig_x = rng.uniform(*sigma_x_range)
     if isotropic:
         return bivariate_gaussian(kernel_size, sig_x, isotropic=True)
-    sig_y = rng.uniform(sigma_y_range[0], sig_x)
+    # sigma_y draws over its own full range, like the reference
+    # (gaussian_kernels.py:330-332)
+    sig_y = rng.uniform(*sigma_y_range)
     theta = rng.uniform(*rotation_range)
     return bivariate_gaussian(kernel_size, sig_x, sig_y, theta,
                               isotropic=False)
@@ -113,24 +155,26 @@ def random_mixed_kernels(kernel_list: Sequence[str],
         k = random_bivariate_gaussian(kernel_size, sigma_x_range,
                                       sigma_y_range, rotation_range,
                                       isotropic=False, rng=rng)
+    elif kind == 'skew':
+        k = random_bivariate_skew_gaussian_center(
+            kernel_size, sigma_x_range, sigma_y_range, rotation_range,
+            rng=rng)
+    elif kind in ('generalized', 'generalized_aniso'):
+        k = bivariate_generalized_gaussian(
+            kernel_size, rng.uniform(*sigma_x_range),
+            rng.uniform(*sigma_y_range), rng.uniform(*rotation_range),
+            rng.uniform(*betag_range), isotropic=False)
     elif kind == 'generalized_iso':
         k = bivariate_generalized_gaussian(
             kernel_size, rng.uniform(*sigma_x_range),
             beta=rng.uniform(*betag_range), isotropic=True)
-    elif kind == 'generalized_aniso':
-        sx = rng.uniform(*sigma_x_range)
-        k = bivariate_generalized_gaussian(
-            kernel_size, sx, rng.uniform(sigma_y_range[0], sx),
-            rng.uniform(*rotation_range), rng.uniform(*betag_range),
-            isotropic=False)
     elif kind == 'plateau_iso':
         k = bivariate_plateau(kernel_size, rng.uniform(*sigma_x_range),
                               beta=rng.uniform(*betap_range),
                               isotropic=True)
     elif kind == 'plateau_aniso':
-        sx = rng.uniform(*sigma_x_range)
-        k = bivariate_plateau(kernel_size, sx,
-                              rng.uniform(sigma_y_range[0], sx),
+        k = bivariate_plateau(kernel_size, rng.uniform(*sigma_x_range),
+                              rng.uniform(*sigma_y_range),
                               rng.uniform(*rotation_range),
                               rng.uniform(*betap_range), isotropic=False)
     else:

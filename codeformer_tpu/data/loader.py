@@ -122,6 +122,41 @@ class DataLoader:
             -(-n // self.batch_size)
 
 
+class DevicePrefetcher:
+    """Double-buffered device feed — the CUDAPrefetcher analog
+    (basicsr/data/prefetch_dataloader.py:84-125). jax.device_put is
+    asynchronous, so staging the NEXT batch while the current step runs
+    overlaps host->device transfer with device compute. `stage` maps a
+    host batch to device arrays (e.g. BaseTrainer._stage_batch, which
+    also applies the mesh sharding); defaults to a plain device_put of
+    array values."""
+
+    def __init__(self, loader, stage=None):
+        self.loader = loader
+        self.stage = stage or self._default_stage
+
+    @staticmethod
+    def _default_stage(batch):
+        import jax
+        return {k: jax.device_put(v) if isinstance(v, np.ndarray) else v
+                for k, v in batch.items()}
+
+    def __iter__(self):
+        it = iter(self.loader)
+        try:
+            cur = self.stage(next(it))
+        except StopIteration:
+            return
+        for batch in it:
+            nxt = self.stage(batch)  # async H2D starts now
+            yield cur
+            cur = nxt
+        yield cur
+
+    def __len__(self):
+        return len(self.loader)
+
+
 def build_dataloader(dataset, dataset_opt: Dict, sampler=None,
                      num_replicas: int = 1, rank: int = 0,
                      is_train: bool = True) -> DataLoader:

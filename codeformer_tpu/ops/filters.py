@@ -45,23 +45,32 @@ def gaussian_blur(img: jax.Array, ksize: int,
 
 def erode(mask: jax.Array, ksize: int) -> jax.Array:
     """Morphological erosion with a ksize x ksize all-ones structuring
-    element (cv2.erode semantics): min-pool. NHWC float."""
+    element (cv2.erode semantics): min-pool. NHWC float.
+
+    A rectangular structuring element is separable: two 1D min-pools
+    (O(2k)/px) replace the naive 2D window (O(k^2)/px) — at the
+    compositor's 128-wide erosions that's a ~64x FLOP cut."""
     orig_dtype = mask.dtype
     m = mask.astype(jnp.float32)
     p0, p1 = ksize // 2, ksize - 1 - ksize // 2
-    out = -jax.lax.reduce_window(
-        -m, -jnp.inf, jax.lax.max,
-        (1, ksize, ksize, 1), (1, 1, 1, 1),
-        [(0, 0), (p0, p1), (p0, p1), (0, 0)])
-    return out.astype(orig_dtype)
+    m = -jax.lax.reduce_window(
+        -m, -jnp.inf, jax.lax.max, (1, ksize, 1, 1), (1, 1, 1, 1),
+        [(0, 0), (p0, p1), (0, 0), (0, 0)])
+    m = -jax.lax.reduce_window(
+        -m, -jnp.inf, jax.lax.max, (1, 1, ksize, 1), (1, 1, 1, 1),
+        [(0, 0), (0, 0), (p0, p1), (0, 0)])
+    return m.astype(orig_dtype)
 
 
 def dilate(mask: jax.Array, ksize: int) -> jax.Array:
-    """Morphological dilation (max-pool). NHWC float."""
+    """Morphological dilation (max-pool, separable). NHWC float."""
     orig_dtype = mask.dtype
     m = mask.astype(jnp.float32)
     p0, p1 = ksize // 2, ksize - 1 - ksize // 2
-    out = jax.lax.reduce_window(
-        m, -jnp.inf, jax.lax.max, (1, ksize, ksize, 1), (1, 1, 1, 1),
-        [(0, 0), (p0, p1), (p0, p1), (0, 0)])
-    return out.astype(orig_dtype)
+    m = jax.lax.reduce_window(
+        m, -jnp.inf, jax.lax.max, (1, ksize, 1, 1), (1, 1, 1, 1),
+        [(0, 0), (p0, p1), (0, 0), (0, 0)])
+    m = jax.lax.reduce_window(
+        m, -jnp.inf, jax.lax.max, (1, 1, ksize, 1), (1, 1, 1, 1),
+        [(0, 0), (0, 0), (p0, p1), (0, 0)])
+    return m.astype(orig_dtype)

@@ -17,7 +17,8 @@ import numpy as np
 
 def warp_affine(img: jax.Array, matrix: jax.Array,
                 out_hw: Tuple[int, int],
-                border_value=0.0) -> jax.Array:
+                border_value=0.0,
+                return_coverage: bool = False) -> jax.Array:
     """Bilinear affine warp of one NHWC image batch with per-item 2x3
     matrices (cv2.warpAffine semantics: `matrix` maps SOURCE coords ->
     DEST coords; we invert it internally like cv2 does without
@@ -25,6 +26,11 @@ def warp_affine(img: jax.Array, matrix: jax.Array,
 
     img: (B, H, W, C); matrix: (B, 2, 3); returns (B, out_h, out_w, C).
     border: constant.
+
+    return_coverage=True also returns the warp of an all-ones image with
+    zero border, (B, out_h, out_w, 1), computed FREE from the same
+    weights/validity — the paste-back compositor's square mask without a
+    second (expensive) gather pass.
     """
     b = img.shape[0]
     out_h, out_w = out_hw
@@ -42,15 +48,20 @@ def warp_affine(img: jax.Array, matrix: jax.Array,
     dest = jnp.stack([xs, ys, ones], axis=-1).reshape(-1, 3)  # (P, 3)
 
     src = jnp.einsum('bij,pj->bpi', inv, dest)  # (B, P, 2) = (x, y)
-    return _bilinear_sample(img, src[..., 0], src[..., 1],
-                            border_value).reshape(b, out_h, out_w,
-                                                  img.shape[-1])
+    out, cov = _bilinear_sample(img, src[..., 0], src[..., 1],
+                                border_value)
+    out = out.reshape(b, out_h, out_w, img.shape[-1])
+    if return_coverage:
+        return out, cov.reshape(b, out_h, out_w, 1)
+    return out
 
 
 def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
-                     border_value=0.0) -> jax.Array:
+                     border_value=0.0):
     """Sample img (B,H,W,C) at float coords x,y (B,P) with bilinear
-    interpolation and constant border."""
+    interpolation and constant border. Returns (values (B,P,C),
+    coverage (B,P,1)) where coverage is the same sample of an all-ones
+    image with zero border."""
     b, h, w, c = img.shape
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -64,15 +75,18 @@ def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
         xxc = jnp.clip(xx, 0, w - 1)
         yyc = jnp.clip(yy, 0, h - 1)
         vals = jax.vmap(lambda im, yv, xv: im[yv, xv])(img, yyc, xxc)
-        return jnp.where(valid, vals, border_value)
+        return jnp.where(valid, vals, border_value), valid
 
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x0i + 1)
-    v10 = gather(y0i + 1, x0i)
-    v11 = gather(y0i + 1, x0i + 1)
+    v00, m00 = gather(y0i, x0i)
+    v01, m01 = gather(y0i, x0i + 1)
+    v10, m10 = gather(y0i + 1, x0i)
+    v11, m11 = gather(y0i + 1, x0i + 1)
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    out = top * (1 - wy) + bot * wy
+    cov = (m00 * (1 - wx) + m01 * wx) * (1 - wy) + \
+          (m10 * (1 - wx) + m11 * wx) * wy
+    return out, cov.astype(out.dtype)
 
 
 def estimate_similarity(src: np.ndarray, dst: np.ndarray) -> np.ndarray:

@@ -44,6 +44,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pack(m: jax.Array) -> jax.Array:
+    """(N, h, w, 1) -> (1, h, w, N): mask filtering runs N-per-lane
+    instead of wasting 127/128 VPU lanes on a single channel."""
+    return jnp.transpose(m[..., 0], (1, 2, 0))[None]
+
+
+def _unpack(m: jax.Array) -> jax.Array:
+    """(1, h, w, N) -> (N, h, w, 1)."""
+    return jnp.transpose(m[0], (2, 0, 1))[..., None]
+
+
+def _shape_parse_masks(parse_ids: jax.Array, face_size: int, n: int
+                       ) -> jax.Array:
+    """parse ids (N,512,512) int32 -> soft parse masks (N,face,face,1)
+    in [0,1] (the reference's colormap + double 101-blur + edge zeroing,
+    face_restoration_helper.py:458-476), channel-packed for VPU width."""
+    pm = _pack(MASK_COLORMAP[parse_ids][..., None])  # (1,512,512,N)
+    pm = gaussian_blur(pm, 101, 11)
+    pm = gaussian_blur(pm, 101, 11)
+    thres = 10
+    pm = pm.at[:, :thres, :].set(0).at[:, -thres:, :].set(0)
+    pm = pm.at[:, :, :thres].set(0).at[:, :, -thres:].set(0)
+    pm = pm / 255.0
+    if face_size != 512:
+        pm = jax.image.resize(pm, (1, face_size, face_size, n), 'linear')
+    return _unpack(pm)
+
+
 @functools.lru_cache(maxsize=64)
 def _build_graph(canvas_hw: Tuple[int, int], n_faces: int,
                  face_size: int, upscale: int, w_edge: int,
@@ -58,29 +86,31 @@ def _build_graph(canvas_hw: Tuple[int, int], n_faces: int,
         # canvas: (hc, wc, 3) f32; faces: (N, fs, fs, 3) f32 0-255;
         # inv_affines: (N, 2, 3); parse_ids: (N, 512, 512) int32;
         # border_masks: (N, fs, fs, 1) f32 (zeros unless draw_box)
-        inv_restored = warp_affine(faces, inv_affines, (hc, wc))
-        ones = jnp.ones((n_faces, face_size, face_size, 1), jnp.float32)
-        inv_mask = warp_affine(ones, inv_affines, (hc, wc))
-        inv_mask_erosion = erode(inv_mask, k_erode)
-        pasted = inv_mask_erosion * inv_restored
+        # ONE fused multi-channel warp: face RGB (+ shaped parse mask)
+        # gather together, and the square coverage mask falls out of the
+        # same sample weights — warp cost on TPU is per-point, not
+        # per-channel (measured ~3x on this stage)
+        src = [faces]
+        if use_parse:
+            src.append(_shape_parse_masks(parse_ids, face_size, n_faces))
+        if draw_box:
+            src.append(border_masks)
+        src = jnp.concatenate(src, axis=-1) if len(src) > 1 else faces
+        warped, inv_mask = warp_affine(src, inv_affines, (hc, wc),
+                                       return_coverage=True)
+        inv_restored = warped[..., :3]
 
-        inv_mask_center = erode(inv_mask_erosion, erosion_radius)
+        packed = _pack(inv_mask)  # masks ride the lane dim: (1,hc,wc,N)
+        erosion1 = erode(packed, k_erode)
+        pasted = _unpack(erosion1) * inv_restored
+        inv_mask_center = erode(erosion1, erosion_radius)
         inv_soft_mask = gaussian_blur(inv_mask_center, blur_size)
 
         if use_parse:
-            pm = MASK_COLORMAP[parse_ids][..., None]  # (N,512,512,1)
-            pm = gaussian_blur(pm, 101, 11)
-            pm = gaussian_blur(pm, 101, 11)
-            thres = 10
-            pm = pm.at[:, :thres, :].set(0).at[:, -thres:, :].set(0)
-            pm = pm.at[:, :, :thres].set(0).at[:, :, -thres:].set(0)
-            pm = pm / 255.0
-            if face_size != 512:
-                pm = jax.image.resize(
-                    pm, (n_faces, face_size, face_size, 1), 'linear')
-            inv_parse = warp_affine(pm, inv_affines, (hc, wc))
-            fuse = (inv_parse < inv_soft_mask).astype(jnp.float32)
-            inv_soft_mask = inv_parse * fuse + inv_soft_mask * (1 - fuse)
+            inv_parse = _pack(warped[..., 3:4])
+            inv_soft_mask = jnp.where(inv_parse < inv_soft_mask,
+                                      inv_parse, inv_soft_mask)
+        inv_soft_mask = _unpack(inv_soft_mask)
 
         def body(i, acc):
             return (inv_soft_mask[i] * pasted[i]
@@ -92,7 +122,7 @@ def _build_graph(canvas_hw: Tuple[int, int], n_faces: int,
             # green box overlay after all faces (reference
             # face_restoration_helper.py:505-512); green = (0,255,0) in
             # both BGR and RGB so no channel flip is needed
-            inv_borders = warp_affine(border_masks, inv_affines, (hc, wc))
+            inv_borders = warped[..., -1:]
             green = jnp.asarray([0.0, 255.0, 0.0], jnp.float32)
 
             def body_box(i, acc):

@@ -77,17 +77,16 @@ class FaceDetector:
         self.variables = jax.device_put(self.variables)
         self._jitted = {}
 
-    def _graph(self, hw: Tuple[int, int], max_faces: int):
-        key = (hw, max_faces)
-        if key in self._jitted:
-            return self._jitted[key]
+    def _detect_body(self, hw: Tuple[int, int], max_faces: int):
+        """Per-image decode+filter+NMS body shared by all graph variants.
+        Takes a padded float32 BGR image of exactly `hw`."""
         h, w = hw
         priors = jnp.asarray(prior_boxes(h, w))
         scale_b = jnp.asarray([w, h, w, h], jnp.float32)
         scale_l = jnp.asarray([w, h] * 5, jnp.float32)
 
-        def run(variables, img, conf_threshold, nms_threshold):
-            x = img.astype(jnp.float32) - jnp.asarray(_MEANS)
+        def run_one(variables, img, conf_threshold, nms_threshold):
+            x = img - jnp.asarray(_MEANS)
             loc, conf, landm = self.model.apply(variables, x[None])
             boxes = decode_boxes(loc[0], priors) * scale_b
             landms = decode_landmarks(landm[0], priors) * scale_l
@@ -104,6 +103,18 @@ class FaceDetector:
                 top_boxes[keep], top_scores[keep][:, None],
                 top_landms[keep]], axis=1)
             return out, valid
+
+        return run_one
+
+    def _graph(self, hw: Tuple[int, int], max_faces: int):
+        key = (hw, max_faces)
+        if key in self._jitted:
+            return self._jitted[key]
+        run_one = self._detect_body(hw, max_faces)
+
+        def run(variables, img, conf_threshold, nms_threshold):
+            return run_one(variables, img.astype(jnp.float32),
+                           conf_threshold, nms_threshold)
 
         fn = jax.jit(run)
         self._jitted[key] = fn
@@ -123,8 +134,11 @@ class FaceDetector:
                      nms_threshold: float = 0.4) -> np.ndarray:
         h, w = img_bgr.shape[:2]
         hb, wb = self._bucket(h), self._bucket(w)
-        padded = np.zeros((hb, wb, 3), np.float32)
-        padded[:h, :w] = img_bgr.astype(np.float32)
+        # keep uint8 inputs uint8: 4x less host->device traffic (the
+        # graph casts to f32 on device)
+        dt = np.uint8 if img_bgr.dtype == np.uint8 else np.float32
+        padded = np.zeros((hb, wb, 3), dt)
+        padded[:h, :w] = img_bgr
         # escalate to a larger keep-bucket when NMS saturates, so crowd
         # photos never silently lose detections
         max_f = self.max_faces
@@ -179,8 +193,9 @@ class FaceDetector:
         frames = np.asarray(frames)
         b, h, w = frames.shape[:3]
         hb, wb = self._bucket(h), self._bucket(w)
-        padded = np.zeros((b, hb, wb, 3), np.float32)
-        padded[:, :h, :w] = frames.astype(np.float32)
+        dt = np.uint8 if frames.dtype == np.uint8 else np.float32
+        padded = np.zeros((b, hb, wb, 3), dt)
+        padded[:, :h, :w] = frames
         max_f = self.max_faces
         while True:
             fn = self._batch_graph((hb, wb), b, max_f)
@@ -210,35 +225,65 @@ class FaceDetector:
         key = (hw, batch, max_faces)
         if key in self._jitted:
             return self._jitted[key]
-        h, w = hw
-        priors = jnp.asarray(prior_boxes(h, w))
-        scale_b = jnp.asarray([w, h, w, h], jnp.float32)
-        scale_l = jnp.asarray([w, h] * 5, jnp.float32)
-
-        def run_one(variables, img, conf_threshold, nms_threshold):
-            x = img.astype(jnp.float32) - jnp.asarray(_MEANS)
-            loc, conf, landm = self.model.apply(variables, x[None])
-            boxes = decode_boxes(loc[0], priors) * scale_b
-            landms = decode_landmarks(landm[0], priors) * scale_l
-            scores = conf[0, :, 1]
-            scores = jnp.where(scores > conf_threshold, scores, -jnp.inf)
-            k = min(self.pre_nms_topk, scores.shape[0])
-            top_scores, top_idx = jax.lax.top_k(scores, k)
-            keep, valid = nms(boxes[top_idx], top_scores, nms_threshold,
-                              max_faces)
-            out = jnp.concatenate([
-                boxes[top_idx][keep], top_scores[keep][:, None],
-                landms[top_idx][keep]], axis=1)
-            return out, valid
+        run_one = self._detect_body(hw, max_faces)
 
         def run(variables, imgs, conf_threshold, nms_threshold):
             return jax.vmap(
-                lambda im: run_one(variables, im, conf_threshold,
+                lambda im: run_one(variables, im.astype(jnp.float32),
+                                   conf_threshold,
                                    nms_threshold))(imgs)
 
         fn = jax.jit(run)
         self._jitted[key] = fn
         return fn
+
+    def _device_graph(self, in_hw, det_hw, batch, max_faces):
+        """Device-resident front end: uint8 frames resize (bilinear) ->
+        pad to the 64-bucket -> detect, all in one jit. No bulk host
+        transfer — only the (B, max_faces, 15) detections come back."""
+        key = ('device', in_hw, det_hw, batch, max_faces)
+        if key in self._jitted:
+            return self._jitted[key]
+        dh, dw = det_hw
+        hb, wb = self._bucket(dh), self._bucket(dw)
+        run_one = self._detect_body((hb, wb), max_faces)
+
+        def run(variables, frames, conf_threshold, nms_threshold):
+            x = frames.astype(jnp.float32)
+            x = jax.image.resize(x, (batch, dh, dw, 3), 'linear')
+            x = jnp.pad(x, ((0, 0), (0, hb - dh), (0, wb - dw), (0, 0)))
+            return jax.vmap(
+                lambda im: run_one(variables, im, conf_threshold,
+                                   nms_threshold))(x)
+
+        fn = jax.jit(run)
+        self._jitted[key] = fn
+        return fn
+
+    def batched_detect_device(self, frames_dev, det_hw,
+                              conf_threshold: float = 0.8,
+                              nms_threshold: float = 0.4):
+        """Detect over a device-resident uint8 BGR frame batch
+        (B, H, W, 3), resized on device to det_hw before the backbone.
+        Returns host arrays (B, max_faces, 15) in det_hw coordinates and
+        a (B, max_faces) validity mask."""
+        b, h, w = frames_dev.shape[:3]
+        max_f = self.max_faces
+        while True:
+            fn = self._device_graph((h, w), tuple(det_hw), b, max_f)
+            outs, valids = fn(self.variables, frames_dev,
+                              jnp.float32(conf_threshold),
+                              jnp.float32(nms_threshold))
+            valids = np.asarray(valids)
+            if valids.all(axis=1).any() and max_f < self.MAX_FACES_CEILING:
+                max_f = min(max_f * 4, self.MAX_FACES_CEILING)
+                continue
+            break
+        outs = np.array(outs)  # writable host copy
+        outs[~valids] = 0.0
+        bad = ~np.isfinite(outs).all(axis=2)
+        valids = valids & ~bad
+        return outs, valids
 
 
 class YoloFaceDetector:

@@ -1,0 +1,311 @@
+"""Fused device-resident video/folder pipeline: frames in, restored frames
+out, with every bulk tensor staying in HBM between stages.
+
+The reference pipeline (inference_codeformer.py:160-272 +
+face_restoration_helper.py) round-trips every intermediate (detection
+input, cropped faces, restored faces, parse maps, composited canvas)
+through host memory. On TPU the host link is the scarcest resource, so
+this pipeline keeps frames on device end to end:
+
+    upload frames (uint8, once)
+      -> detect      (device: resize + RetinaFace + NMS; only the tiny
+                      (B, max_faces, 15) landmark block crosses to host)
+      -> align       (host solves 5-point similarity transforms — bytes;
+                      device does the gather + bilinear warp to 512x512)
+      -> restore     (device: CodeFormer, bucketed batch)
+      -> parse       (device: ParseNet)
+      -> composite   (device: batched inverse warps + erosion + soft-edge
+                      + parse-guided blend over an upscaled canvas)
+      -> fetch final frames (uint8, once — or keep on device)
+
+Host<->device traffic per 512x683 frame: ~1MB up + ~4MB down (final
+canvas) + <1KB of landmarks, instead of ~12MB of intermediates.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from codeformer_tpu.ops.filters import erode, gaussian_blur
+from codeformer_tpu.ops.geometry import (estimate_similarity, invert_affine,
+                                         warp_affine)
+from .compositor_xla import MASK_COLORMAP
+
+# cv2 constant-border gray used by align_warp_face (BGR)
+_BORDER_BGR = (135.0, 133.0, 132.0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pow2_bucket(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+class DeviceRestorePipeline:
+    """Frames -> restored frames with device-resident intermediates.
+
+    Borrows the detector / parser / template from a FaceRestoreHelper and
+    the CodeFormer graph from a CodeFormerRestorer, so weights load once
+    and are shared with the classic per-stage path.
+    """
+
+    def __init__(self, restorer, face_helper, upscale: int = 2,
+                 frame_chunk: int = 8, detect_resize: int = 640,
+                 conf_threshold: float = 0.8,
+                 eye_dist_threshold: Optional[float] = 5.0,
+                 only_center_face: bool = False, w: float = 0.5):
+        from .detector import FaceDetector
+        if not isinstance(face_helper.face_detector, FaceDetector):
+            raise NotImplementedError(
+                'DeviceRestorePipeline requires a RetinaFace detector '
+                '(YOLO keeps its own host preprocessing)')
+        self.restorer = restorer
+        self.helper = face_helper
+        self.detector = face_helper.face_detector
+        self.upscale = int(upscale)
+        self.frame_chunk = frame_chunk
+        self.detect_resize = detect_resize
+        self.conf_threshold = conf_threshold
+        self.eye_dist_threshold = eye_dist_threshold
+        self.only_center_face = only_center_face
+        self.w = w
+        self.use_parse = face_helper.use_parse
+        self._graphs = {}
+
+    # ------------------------------------------------------------------
+    # device graphs (one compile per static config, persistently cached)
+    # ------------------------------------------------------------------
+    def _warp_graph(self, in_hw: Tuple[int, int], m: int, face: int):
+        key = ('warp', in_hw, m, face)
+        if key not in self._graphs:
+            border = jnp.asarray(_BORDER_BGR[::-1], jnp.float32)  # RGB
+
+            def run(frames, frame_idx, affines):
+                # frames (C,H,W,3) uint8 BGR; frame_idx (M,); affines
+                # (M,2,3) frame->template. Returns (M,face,face,3) uint8
+                # RGB crops (the restorer's input layout).
+                sel = frames[frame_idx].astype(jnp.float32)[..., ::-1]
+                faces = warp_affine(sel, affines, (face, face),
+                                    border_value=border)
+                return jnp.clip(jnp.round(faces), 0, 255).astype(jnp.uint8)
+
+            self._graphs[key] = jax.jit(run)
+        return self._graphs[key]
+
+    def _parse_graph(self, m: int):
+        key = ('parse', m)
+        if key not in self._graphs:
+            model = self.helper._parse_model
+
+            def run(variables, faces_rgb_u8):
+                x = faces_rgb_u8.astype(jnp.float32) / 127.5 - 1.0
+                mask, _ = model.apply(variables, x)
+                return jnp.argmax(mask, axis=-1).astype(jnp.int32)
+
+            self._graphs[key] = jax.jit(run)
+        return self._graphs[key]
+
+    def _composite_graph(self, in_hw: Tuple[int, int], c: int, f: int,
+                         face: int, w_edge: int, use_parse: bool):
+        key = ('comp', in_hw, c, f, face, w_edge, use_parse)
+        if key in self._graphs:
+            return self._graphs[key]
+        h, w = in_hw
+        up = self.upscale
+        h_up, w_up = h * up, w * up
+        hc, wc = _round_up(h_up, 128), _round_up(w_up, 128)
+        k_erode = max(int(2 * up), 1)
+        erosion_radius = max(w_edge * 2, 1)
+        blur_size = w_edge * 2 + 1
+
+        def run(frames, restored_rgb, face_map, inv_affines, pids):
+            # frames (C,H,W,3) u8 BGR; restored_rgb (M,face,face,3) u8;
+            # face_map (C*F,) indices into M; inv_affines (C*F,2,3);
+            # pids (M,512,512) int32
+            from .compositor_xla import _pack, _shape_parse_masks, _unpack
+            canv = jax.image.resize(frames.astype(jnp.float32),
+                                    (c, h_up, w_up, 3), 'linear')
+            canv = jnp.pad(canv, ((0, 0), (0, hc - h_up),
+                                  (0, wc - w_up), (0, 0)))
+            faces = restored_rgb[face_map].astype(
+                jnp.float32)[..., ::-1]  # BGR like the canvas
+            # fused multi-channel warp + free coverage mask + lane-packed
+            # mask filtering (see compositor_xla._build_graph)
+            if use_parse:
+                m = pids.shape[0]
+                pm = _shape_parse_masks(pids, face, m)[face_map]
+                src = jnp.concatenate([faces, pm], axis=-1)
+            else:
+                src = faces
+            warped, inv_mask = warp_affine(src, inv_affines, (hc, wc),
+                                           return_coverage=True)
+            inv_restored = warped[..., :3]
+            packed = _pack(inv_mask)
+            erosion1 = erode(packed, k_erode)
+            pasted = _unpack(erosion1) * inv_restored
+            inv_mask_center = erode(erosion1, erosion_radius)
+            inv_soft_mask = gaussian_blur(inv_mask_center, blur_size)
+
+            if use_parse:
+                inv_parse = _pack(warped[..., 3:4])
+                inv_soft_mask = jnp.where(inv_parse < inv_soft_mask,
+                                          inv_parse, inv_soft_mask)
+            inv_soft_mask = _unpack(inv_soft_mask)
+
+            pasted = pasted.reshape(c, f, hc, wc, 3)
+            soft = inv_soft_mask.reshape(c, f, hc, wc, 1)
+
+            def body(i, acc):
+                return soft[:, i] * pasted[:, i] + (1 - soft[:, i]) * acc
+
+            out = jax.lax.fori_loop(0, f, body, canv)
+            out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+            return out[:, :h_up, :w_up]
+
+        fn = jax.jit(run)
+        self._graphs[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # host-side orchestration
+    # ------------------------------------------------------------------
+    def _landmarks_from_dets(self, dets, valids, det_scale, frame_hw):
+        """Filter detections like get_face_landmarks_5; returns a list of
+        (n_i, 5, 2) landmark arrays in frame coordinates."""
+        h, w = frame_hw
+        out = []
+        for det_rows, valid in zip(dets, valids):
+            rows = det_rows[valid] / det_scale
+            landmarks = []
+            for bbox in rows:
+                eye_dist = np.linalg.norm(
+                    [bbox[6] - bbox[8], bbox[7] - bbox[9]])
+                if self.eye_dist_threshold is not None and \
+                        eye_dist < self.eye_dist_threshold:
+                    continue
+                landmarks.append(
+                    np.array([[bbox[i], bbox[i + 1]]
+                              for i in range(5, 15, 2)]))
+            if self.only_center_face and landmarks:
+                centers = [lm.mean(0) for lm in landmarks]
+                mid = np.array([w / 2, h / 2])
+                idx = int(np.argmin(
+                    [np.linalg.norm(cc - mid) for cc in centers]))
+                landmarks = [landmarks[idx]]
+            out.append(landmarks)
+        return out
+
+    def _restore_chunk_device(self, frames_dev):
+        """(C, H, W, 3) uint8 BGR device -> (C, H*up, W*up, 3) uint8 BGR
+        device."""
+        c, h, w = frames_dev.shape[:3]
+        det_scale = self.detect_resize / min(h, w)
+        det_hw = (int(h * det_scale), int(w * det_scale))
+
+        dets, valids = self.detector.batched_detect_device(
+            frames_dev, det_hw, conf_threshold=self.conf_threshold)
+        per_frame = self._landmarks_from_dets(dets, valids, det_scale,
+                                              (h, w))
+
+        template = self.helper.face_template
+        face = self.helper.face_size[0]
+        up = self.upscale
+
+        # flat face list with frame indices + affine solves (host, tiny)
+        frame_idx, affines, inv_affines = [], [], []
+        face_map = []  # per frame: indices into the flat face list
+        for i, landmarks in enumerate(per_frame):
+            ids = []
+            for lm in landmarks:
+                a = estimate_similarity(lm, template)
+                ia = invert_affine(a, up)
+                if up > 1:
+                    ia = ia.copy()
+                    ia[:, 2] += 0.5 * up
+                ids.append(len(frame_idx))
+                frame_idx.append(i)
+                affines.append(a)
+                inv_affines.append(ia)
+            face_map.append(ids)
+
+        n_real = len(frame_idx)
+        m = _pow2_bucket(max(n_real, 1))
+        fpf = _pow2_bucket(max(max((len(x) for x in face_map), default=0),
+                               1))
+
+        a_pad = np.zeros((m, 2, 3), np.float32)
+        a_pad[:, 0, 0] = a_pad[:, 1, 1] = 1.0
+        idx_pad = np.zeros((m,), np.int32)
+        for j, (fi, a) in enumerate(zip(frame_idx, affines)):
+            idx_pad[j] = fi
+            a_pad[j] = a
+
+        # aligned crops + restore + parse, all device-resident
+        warp = self._warp_graph((h, w), m, face)
+        faces_rgb = warp(frames_dev, jnp.asarray(idx_pad),
+                         jnp.asarray(a_pad))
+        restored = self.restorer.restore_device(faces_rgb, w=self.w)
+        if self.use_parse:
+            pids = self._parse_graph(m)(self.helper._parse_vars, restored)
+        else:
+            pids = jnp.zeros((m, 512, 512), jnp.int32)
+
+        # composite inputs: (C*F) slots, dummies parked off-canvas
+        cf = c * fpf
+        map_pad = np.zeros((cf,), np.int32)
+        ia_pad = np.zeros((cf, 2, 3), np.float32)
+        ia_pad[:, 0, 0] = ia_pad[:, 1, 1] = 1.0
+        ia_pad[:, 0, 2] = -4 * face  # off-canvas
+        areas = [float(face * face)]
+        for i, ids in enumerate(face_map):
+            for k, j in enumerate(ids):
+                slot = i * fpf + k
+                map_pad[slot] = j
+                ia_pad[slot] = inv_affines[j]
+                det = abs(inv_affines[j][0, 0] * inv_affines[j][1, 1]
+                          - inv_affines[j][0, 1] * inv_affines[j][1, 0])
+                areas.append(face * face * det)
+        w_edge = int(max(areas) ** 0.5) // 20
+        w_edge = min(max((w_edge + 4) // 8 * 8, 4), 64)
+
+        comp = self._composite_graph((h, w), c, fpf, face, w_edge,
+                                     self.use_parse)
+        return comp(frames_dev, restored, jnp.asarray(map_pad),
+                    jnp.asarray(ia_pad), pids)
+
+    def restore_frames_device(self, frames):
+        """frames: (N, H, W, 3) uint8 BGR (numpy or device). Returns the
+        restored (N, H*up, W*up, 3) uint8 BGR as a DEVICE array."""
+        frames = jnp.asarray(frames)
+        n = frames.shape[0]
+        ck = min(self.frame_chunk, n)  # short inputs compile exact-size
+        outs = []
+        for i in range(0, n, ck):
+            r = min(ck, n - i)  # real frames in this chunk
+            chunk = frames[i:i + r]
+            if r < ck:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], ck - r, axis=0)])
+            outs.append(self._restore_chunk_device(chunk)[:r])
+        return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    def restore_frames(self, frames: List[np.ndarray]) -> List[np.ndarray]:
+        """Host-facing wrapper: handles the min-side-512 upscale rule and
+        fetches the final frames (the only bulk device->host transfer)."""
+        import cv2
+        if not frames:
+            return []
+        if min(frames[0].shape[:2]) < 512:
+            f = 512.0 / min(frames[0].shape[:2])
+            frames = [cv2.resize(fr, (0, 0), fx=f, fy=f,
+                                 interpolation=cv2.INTER_LINEAR)
+                      for fr in frames]
+        out = self.restore_frames_device(np.stack(frames))
+        out = np.asarray(out)
+        return list(out)

@@ -89,8 +89,16 @@ class FaceRestoreHelper:
                           int(face_size * crop_ratio[0]))
         self.det_model = det_model
 
-        # FFHQ 512 5-point template (face_restoration_helper.py:84-87)
-        if self.template_3points:
+        # FFHQ 5-point templates (face_restoration_helper.py:76-93):
+        # dlib uses the 1024-scale template (eye corners + nose bottom),
+        # the NN detectors the 512-scale facexlib one
+        if self.det_model == 'dlib':
+            self.face_template = np.array(
+                [[686.77227723, 488.62376238], [586.77227723, 493.59405941],
+                 [337.91089109, 488.38613861], [437.95049505, 493.51485149],
+                 [513.58415842, 678.5049505]], np.float32)
+            self.face_template = self.face_template / (1024 // face_size)
+        elif self.template_3points:
             self.face_template = np.array(
                 [[192, 240], [319, 240], [257, 371]], np.float32)
         else:
@@ -120,9 +128,12 @@ class FaceRestoreHelper:
         self.is_gray = False
         self._precomputed_parse_ids = None  # batched video path
 
-        from .detector import init_detection_model
-        self.face_detector = detector or init_detection_model(
-            det_model, allow_random=allow_random_weights)
+        if det_model == 'dlib':
+            self.face_detector, self.shape_predictor_5 = self._init_dlib()
+        else:
+            from .detector import init_detection_model
+            self.face_detector = detector or init_detection_model(
+                det_model, allow_random=allow_random_weights)
 
         self.use_parse = use_parse
         self._parse_model = ParseNet()
@@ -164,10 +175,62 @@ class FaceRestoreHelper:
             self.input_img = cv2.resize(self.input_img, (0, 0), fx=f, fy=f,
                                         interpolation=cv2.INTER_LINEAR)
 
+    # ---- dlib detection path (face_restoration_helper.py:152-193) ----
+    DLIB_DETECTOR_WEIGHTS = \
+        'weights/dlib/mmod_human_face_detector-4cb19393.dat'
+    DLIB_SHAPE5_WEIGHTS = \
+        'weights/dlib/shape_predictor_5_face_landmarks-c4b1e980.dat'
+
+    def _init_dlib(self):
+        """CNN face detector + 5-point shape predictor. The dlib package
+        and its .dat weights must be present (zero-egress environments
+        can place them under weights/dlib — see
+        scripts/download_pretrained_models.py)."""
+        try:
+            import dlib
+        except ImportError as e:
+            raise ImportError(
+                'det_model="dlib" needs the dlib package: '
+                'conda install -c conda-forge dlib') from e
+        for path in (self.DLIB_DETECTOR_WEIGHTS, self.DLIB_SHAPE5_WEIGHTS):
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f'dlib weights not found at {path}; fetch them with '
+                    f'scripts/download_pretrained_models.py dlib')
+        face_detector = dlib.cnn_face_detection_model_v1(
+            self.DLIB_DETECTOR_WEIGHTS)
+        shape_predictor_5 = dlib.shape_predictor(self.DLIB_SHAPE5_WEIGHTS)
+        return face_detector, shape_predictor_5
+
+    def get_face_landmarks_5_dlib(self, only_keep_largest=False,
+                                  scale=1) -> int:
+        det_faces = self.face_detector(self.input_img, scale)
+        if len(det_faces) == 0:
+            print('No face detected. Try to increase upsample_num_times.')
+            return 0
+        if only_keep_largest:
+            print('Detect several faces and only keep the largest.')
+            face_areas = [
+                (d.rect.right() - d.rect.left())
+                * (d.rect.bottom() - d.rect.top()) for d in det_faces]
+            largest_idx = face_areas.index(max(face_areas))
+            self.det_faces = [det_faces[largest_idx]]
+        else:
+            self.det_faces = list(det_faces)
+        for face in self.det_faces:
+            shape = self.shape_predictor_5(self.input_img, face.rect)
+            landmark = np.array([[part.x, part.y]
+                                 for part in shape.parts()])
+            self.all_landmarks_5.append(landmark)
+        return len(self.all_landmarks_5)
+
     def get_face_landmarks_5(self, only_keep_largest=False,
                              only_center_face=False, resize=None,
                              blur_ratio=0.01,
                              eye_dist_threshold=None) -> int:
+        if self.det_model == 'dlib':
+            return self.get_face_landmarks_5_dlib(only_keep_largest)
+
         if resize is None:
             scale = 1.0
             input_img = self.input_img

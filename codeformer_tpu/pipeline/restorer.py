@@ -117,6 +117,18 @@ class CodeFormerRestorer:
                 out.extend(chunk)
         return out
 
+    def restore_device(self, x_rgb_uint8, w: float = 0.5,
+                       adain: bool = True,
+                       enable_fuse: Optional[bool] = None):
+        """Device-resident restoration: (B, face, face, 3) uint8 RGB
+        (device or host array; B should be a bucket size) -> uint8 RGB on
+        DEVICE. No device->host transfer — the building block of the
+        fused frames->frames pipeline (pipeline/device_pipeline.py)."""
+        if enable_fuse is None:
+            enable_fuse = w > 0
+        return self._fwd(self.variables, jnp.asarray(x_rgb_uint8),
+                         jnp.float32(w), adain, enable_fuse)
+
     def _restore_chunk(self, chunk, w, adain, enable_fuse):
         n = len(chunk)
         b = self._bucket(n)

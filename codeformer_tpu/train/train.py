@@ -122,6 +122,15 @@ def train_pipeline(root_path: str, args=None):
 
     logger.info(f'Start training from epoch {start_epoch}, '
                 f'iter {current_iter}')
+    # reference prefetch_mode 'cuda' -> the device-put-ahead prefetcher
+    # (prefetch_dataloader.py:84-125); 'cpu'/None need nothing extra: the
+    # loader already produces batches from a host-side thread pool
+    prefetch_mode = (opt['datasets']['train'] or {}).get('prefetch_mode')
+    if prefetch_mode in ('cuda', 'device'):
+        from codeformer_tpu.data.loader import DevicePrefetcher
+        train_loader = DevicePrefetcher(train_loader,
+                                        stage=model._stage_batch)
+        logger.info('Use DevicePrefetcher (double-buffered device feed)')
     data_time = time.time()
     epoch = start_epoch
     for batch in train_loader:

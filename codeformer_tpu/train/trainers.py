@@ -151,10 +151,16 @@ class BaseTrainer:
         return None
 
     # --------------------------- API --------------------------------
-    def feed_data(self, data: Dict):
-        """Stage a batch; with a mesh, shard it on the data axis (the
-        per-device split DDP gets from its sampler). Batches whose leading
-        dim does not divide the mesh are padded by repetition."""
+    def _stage_batch(self, data: Dict) -> Dict:
+        """Transfer a host batch to device; with a mesh, shard it on the
+        data axis (the per-device split DDP gets from its sampler).
+        Batches whose leading dim does not divide the mesh are padded by
+        repetition. Also the `stage` hook of data.loader.DevicePrefetcher
+        (the CUDAPrefetcher analog): device_put is async, so staging one
+        batch ahead overlaps H2D with the running step."""
+        if any(isinstance(v, jax.Array) for v in data.values()):
+            return {k: v for k, v in data.items()
+                    if not isinstance(v, list)}  # already staged
         batch = {k: np.asarray(v) for k, v in data.items()
                  if not isinstance(v, list)}
         if self.mesh is not None:
@@ -166,14 +172,17 @@ class BaseTrainer:
                 reps = -(-target // b)
                 batch = {k: np.concatenate([v] * reps)[:target]
                          for k, v in batch.items()}
-            batch = {
+            return {
                 k: jax.device_put(
                     v, NamedSharding(self.mesh,
                                      P('data', *([None] * (v.ndim - 1)))))
                 for k, v in batch.items()}
-            self.batch = batch
-        else:
-            self.batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def feed_data(self, data: Dict):
+        """Stage a batch (no-op for batches a DevicePrefetcher already
+        staged)."""
+        self.batch = self._stage_batch(data)
 
     def get_current_log(self):
         return dict(self.log_dict)

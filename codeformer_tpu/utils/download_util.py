@@ -39,6 +39,14 @@ PRETRAINED_URLS = {
         'RealESRGAN_x2plus.pth':
             'https://github.com/sczhou/CodeFormer/releases/download/v0.1.0/RealESRGAN_x2plus.pth',
     },
+    'dlib': {
+        'mmod_human_face_detector-4cb19393.dat':
+            'https://github.com/sczhou/CodeFormer/releases/download/v0.1.0/mmod_human_face_detector-4cb19393.dat',
+        'shape_predictor_5_face_landmarks-c4b1e980.dat':
+            'https://github.com/sczhou/CodeFormer/releases/download/v0.1.0/shape_predictor_5_face_landmarks-c4b1e980.dat',
+        'shape_predictor_68_face_landmarks-fbdc2cb8.dat':
+            'https://github.com/sczhou/CodeFormer/releases/download/v0.1.0/shape_predictor_68_face_landmarks-fbdc2cb8.dat',
+    },
 }
 
 

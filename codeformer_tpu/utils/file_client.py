@@ -52,9 +52,29 @@ class LmdbBackend(BaseStorageBackend):
 
 
 class MemcachedBackend(BaseStorageBackend):
-    def __init__(self, *a, **k):
-        raise NotImplementedError(
-            'memcached client libraries are not available in this image')
+    """Memcached backend (file_client.py:22-55): same config surface as
+    the reference; the `mc` client library gates at import, exactly like
+    the reference's behavior when memcached isn't installed."""
+
+    def __init__(self, server_list_cfg, client_cfg, sys_path=None):
+        if sys_path is not None:
+            import sys
+            sys.path.append(sys_path)
+        try:
+            import mc
+        except ImportError:
+            raise ImportError(
+                'Please install memcached to enable MemcachedBackend.')
+        self.server_list_cfg = server_list_cfg
+        self.client_cfg = client_cfg
+        self._client = mc.MemcachedClient.GetInstance(
+            self.server_list_cfg, self.client_cfg)
+        self._mc_buffer = mc.pyvector()
+
+    def get(self, filepath) -> bytes:
+        import mc
+        self._client.Get(str(filepath), self._mc_buffer)
+        return mc.ConvertBuffer(self._mc_buffer)
 
 
 class FileClient:

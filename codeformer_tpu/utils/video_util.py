@@ -86,12 +86,22 @@ class VideoReader:
 
 
 class Cv2VideoWriter:
-    """cv2 fallback writer (no audio mux) for ffmpeg-less environments."""
+    """cv2 fallback writer for ffmpeg-less environments.
+
+    LIMITATION: cv2.VideoWriter cannot mux audio. When an audio source is
+    given it is dropped with a loud warning — install ffmpeg to preserve
+    it (the reference's VideoWriter behavior, video_util.py:89-125)."""
 
     def __init__(self, video_save_path: str, height: int, width: int,
                  fps: float, audio=None):
         import cv2
         import os
+        if audio is not None:
+            import warnings
+            warnings.warn(
+                f'writing {video_save_path} WITHOUT audio: the cv2 '
+                f'fallback writer cannot mux the source audio stream '
+                f'({audio}); install ffmpeg to preserve it')
         os.makedirs(os.path.dirname(os.path.abspath(video_save_path)),
                     exist_ok=True)
         fourcc = cv2.VideoWriter_fourcc(*'mp4v')

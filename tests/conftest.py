@@ -20,5 +20,9 @@ import jax
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_platform_name', 'cpu')
+# persistent compile cache: the mesh GAN-step compile alone is ~3min of
+# CPU; repeat suite runs skip it entirely
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_cpu')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
 assert jax.default_backend() == 'cpu', (
     f'tests must run on CPU, got {jax.default_backend()}')

@@ -128,3 +128,27 @@ def test_dataset_color_jitter_pt_applied(tiny_folder):
     a, b = base[1], jit[1]
     np.testing.assert_array_equal(a['gt'], b['gt'])
     assert not np.array_equal(a['in'], b['in'])
+
+
+def test_device_prefetcher_order_and_content():
+    """DevicePrefetcher must preserve order/content while staging one
+    batch ahead (CUDAPrefetcher analog)."""
+    from codeformer_tpu.data.loader import DevicePrefetcher
+    import jax
+
+    batches = [{'x': np.full((2, 3), i, np.float32), 'gt_path': [f'p{i}']}
+               for i in range(5)]
+    staged_log = []
+
+    def stage(batch):
+        staged_log.append(float(batch['x'][0, 0]))
+        return {'x': jax.device_put(batch['x'])}
+
+    out = list(DevicePrefetcher(batches, stage=stage))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b['x'], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b['x']),
+                                      np.full((2, 3), i, np.float32))
+    # batch i+1 was staged before batch i was yielded
+    assert staged_log == [0.0, 1.0, 2.0, 3.0, 4.0]

@@ -1,0 +1,176 @@
+"""DeviceRestorePipeline vs the classic per-stage video path on a
+synthetic scene with injected detections (random weights; both paths share
+the same tiny CodeFormer, so outputs must closely agree — remaining
+differences are the cv2-vs-XLA resamplers)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from codeformer_tpu.pipeline.detector import FaceDetector
+from codeformer_tpu.pipeline.restorer import CodeFormerRestorer
+
+
+FACE = 64  # tiny face crops for CPU speed
+
+
+def _template64():
+    t = np.array(
+        [[192.98138, 239.94708], [318.90277, 240.1936],
+         [256.63416, 314.01935], [201.26117, 371.41043],
+         [313.08905, 371.15118]], np.float32)
+    return t * (FACE / 512.0)
+
+
+def _frame_landmarks(frame_hw):
+    # face occupies a ~200px region around the center
+    t = np.array(
+        [[192.98138, 239.94708], [318.90277, 240.1936],
+         [256.63416, 314.01935], [201.26117, 371.41043],
+         [313.08905, 371.15118]], np.float32)
+    return t * 0.45 + np.array([frame_hw[1] / 2 - 110.0,
+                                frame_hw[0] / 2 - 130.0], np.float32)
+
+
+class _InjectedDetector(FaceDetector):
+    """Returns one synthetic detection per frame in detector coords."""
+
+    def __init__(self):  # no weights
+        self.max_faces = 8
+        self.pre_nms_topk = 64
+        self.variables = None
+        self._jitted = {}
+
+    def _det_rows(self, n, det_scale, frame_hw):
+        lm = _frame_landmarks(frame_hw) * det_scale
+        row = np.zeros(15, np.float32)
+        row[0:4] = [lm[:, 0].min() - 20, lm[:, 1].min() - 40,
+                    lm[:, 0].max() + 20, lm[:, 1].max() + 30]
+        row[4] = 0.99
+        row[5:15] = lm.reshape(-1)
+        return np.tile(row, (n, 1))
+
+    frame_hw = (540, 720)  # original frame geometry (set by the test)
+
+    def batched_detect_faces(self, frames, conf_threshold=0.8,
+                             nms_threshold=0.4):
+        b, h, w = np.asarray(frames).shape[:3]
+        # the video path resizes frames to detect size before this call
+        det_scale = h / self.frame_hw[0]
+        return [self._det_rows(1, det_scale, self.frame_hw)
+                for _ in range(b)]
+
+    def batched_detect_device(self, frames_dev, det_hw,
+                              conf_threshold=0.8, nms_threshold=0.4):
+        b, h, w = frames_dev.shape[:3]
+        det_scale = det_hw[0] / h
+        dets = np.stack([self._det_rows(self.max_faces, det_scale, (h, w))
+                         for _ in range(b)])
+        valids = np.zeros((b, self.max_faces), bool)
+        valids[:, 0] = True
+        return dets, valids
+
+
+class _Helper:
+    """Minimal FaceRestoreHelper stand-in (no weights)."""
+
+    def __init__(self, use_parse=False):
+        self.face_detector = _InjectedDetector()
+        self.face_template = _template64()
+        self.face_size = (FACE, FACE)
+        self.use_parse = use_parse
+        self.is_gray = False
+        self.upscale_factor = 2
+        self.compositor = 'xla'
+        self.save_ext = 'png'
+        self._precomputed_parse_ids = None
+
+    # video-path surface
+    def clean_all(self):
+        self.cropped_faces = []
+        self.restored_faces = []
+        self.affine_matrices = []
+        self.inverse_affine_matrices = []
+
+    def get_inverse_affine(self, _):
+        import cv2
+        for a in self.affine_matrices:
+            inv = cv2.invertAffineTransform(a)
+            self.inverse_affine_matrices.append(inv * self.upscale_factor)
+
+    def paste_faces_to_input_image(self, **kw):
+        from codeformer_tpu.pipeline.face_helper import FaceRestoreHelper
+        return FaceRestoreHelper.paste_faces_to_input_image(self, **kw)
+
+
+@pytest.fixture(scope='module')
+def tiny_restorer():
+    import codeformer_tpu.pipeline.restorer as rmod
+    orig = rmod.CodeFormer
+
+    def tiny(**kw):
+        kw.update(img_size=FACE, nf=32, ch_mult=(1, 2, 4), emb_dim=16,
+                  latent_size=256)
+        return orig(**kw)
+
+    rmod.CodeFormer = tiny
+    try:
+        r = CodeFormerRestorer(dim_embd=32, codebook_size=32, n_head=4,
+                               n_layers=2, connect_list=('32', '64'),
+                               dtype=jnp.float32, face_size=FACE,
+                               batch_buckets=(1, 2, 4))
+    finally:
+        rmod.CodeFormer = orig
+    return r
+
+
+def test_device_pipeline_matches_classic_path(tiny_restorer):
+    from codeformer_tpu.pipeline.device_pipeline import DeviceRestorePipeline
+    from codeformer_tpu.pipeline.video import restore_video_frames
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(30, 220, (540, 720, 3)).astype(np.uint8)
+    frames = [base.copy(), np.roll(base, 5, axis=1)]
+
+    classic = restore_video_frames(
+        frames, tiny_restorer, _Helper(use_parse=False), w=0.5, upscale=2,
+        resize=640)
+
+    pipe = DeviceRestorePipeline(tiny_restorer, _Helper(use_parse=False),
+                                 upscale=2, frame_chunk=2,
+                                 detect_resize=640, w=0.5)
+    fused = pipe.restore_frames(frames)
+
+    assert len(classic) == len(fused) == 2
+    assert classic[0].shape == fused[0].shape == (1080, 1440, 3)
+    for a, b in zip(classic, fused):
+        diff = np.abs(a.astype(np.float32) - b.astype(np.float32))
+        # same model + same geometry; resampler (cv2 vs XLA) differences
+        # remain at the face border
+        assert diff.mean() < 3.0, diff.mean()
+        assert np.median(diff) <= 1.0
+
+
+def test_device_pipeline_no_faces(tiny_restorer):
+    """Frames with zero detections must come back as the plain 2x
+    upscale."""
+    from codeformer_tpu.pipeline.device_pipeline import DeviceRestorePipeline
+
+    helper = _Helper(use_parse=False)
+
+    def none_dets(frames_dev, det_hw, **kw):
+        b = frames_dev.shape[0]
+        return (np.zeros((b, 8, 15), np.float32),
+                np.zeros((b, 8), bool))
+
+    helper.face_detector.batched_detect_device = none_dets
+    pipe = DeviceRestorePipeline(tiny_restorer, helper, upscale=2,
+                                 frame_chunk=1, w=0.5)
+    frame = np.random.default_rng(1).uniform(
+        0, 255, (520, 520, 3)).astype(np.uint8)
+    out = pipe.restore_frames([frame])[0]
+    assert out.shape == (1040, 1040, 3)
+    import cv2
+    ref = cv2.resize(frame, (1040, 1040), interpolation=cv2.INTER_LINEAR)
+    diff = np.abs(out.astype(np.float32) - ref.astype(np.float32))
+    assert diff.mean() < 1.5, diff.mean()

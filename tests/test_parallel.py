@@ -23,6 +23,7 @@ def test_mesh_indivisible_raises():
         local_batch_slice(6, mesh)
 
 
+@pytest.mark.slow  # ~3min cold compile on 1 CPU core (cached afterwards)
 def test_dryrun_multichip_8dev():
     import sys
     sys.path.insert(0, '/root/repo')

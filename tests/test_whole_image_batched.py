@@ -1,0 +1,101 @@
+"""Folder path batches faces ACROSS files: run_whole_images must make ONE
+restore_batch call covering every face of every image (the reference loops
+per image and per face — inference_codeformer.py:160-272)."""
+import os
+from types import SimpleNamespace
+
+import cv2
+import numpy as np
+
+import codeformer_tpu.cli.whole_image as wi
+
+
+class _StubHelper:
+    """Deterministic 1-face-per-image FaceRestoreHelper stand-in."""
+    instances = []
+
+    def __init__(self, upscale_factor, **kw):
+        self.upscale_factor = upscale_factor
+        self.use_parse = False
+        self.face_size = (64, 64)
+        self.save_ext = 'png'
+        self.is_gray = False
+        self._precomputed_parse_ids = None
+        self.clean_all()
+        _StubHelper.instances.append(self)
+
+    def clean_all(self):
+        self.cropped_faces = []
+        self.restored_faces = []
+        self.inverse_affine_matrices = []
+
+    def read_image(self, img):
+        self.input_img = img
+
+    def get_face_landmarks_5(self, **kw):
+        return 1
+
+    def align_warp_face(self, *a, **kw):
+        self.cropped_faces = [self.input_img[:64, :64].copy()]
+
+    def get_inverse_affine(self, _):
+        self.inverse_affine_matrices = [
+            np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32)]
+
+    def add_restored_face(self, face, input_face=None):
+        self.restored_faces.append(face)
+
+    def paste_faces_to_input_image(self, upsample_img=None, draw_box=False,
+                                   face_upsampler=None):
+        h, w = self.input_img.shape[:2]
+        out = cv2.resize(self.input_img,
+                         (w * self.upscale_factor,
+                          h * self.upscale_factor))
+        out[:64, :64] = cv2.resize(self.restored_faces[0], (64, 64))
+        return out
+
+
+class _StubRestorer:
+    def __init__(self):
+        self.calls = []
+
+    def restore_batch(self, faces, w=0.5, adain=True):
+        self.calls.append(len(faces))
+        return [255 - f for f in faces]
+
+
+def test_folder_restores_all_faces_in_one_stream(tmp_path, monkeypatch):
+    monkeypatch.setattr(wi, 'FaceRestoreHelper', _StubHelper)
+    _StubHelper.instances = []
+
+    in_dir = tmp_path / 'in'
+    in_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        img = rng.uniform(0, 255, (80, 96, 3)).astype(np.uint8)
+        cv2.imwrite(str(in_dir / f'{i:02d}.png'), img)
+    out_dir = tmp_path / 'out'
+    for sub in ('cropped_faces', 'restored_faces', 'final_results'):
+        (out_dir / sub).mkdir(parents=True)
+
+    args = SimpleNamespace(
+        bg_upsampler='None', face_upsample=False, upscale=2,
+        detection_model='retinaface_resnet50', fidelity_weight=0.5,
+        input_path=str(in_dir), draw_box=False, suffix=None,
+        only_center_face=False, random_init=True, compositor='xla',
+        save_video_fps=None)
+    paths = sorted(str(p) for p in in_dir.iterdir())
+    restorer = _StubRestorer()
+    wi.run_whole_images(args, paths, str(out_dir), restorer,
+                        input_video=False)
+
+    # ONE batched call over all 5 faces — not 5 calls of 1
+    assert restorer.calls == [5]
+    finals = sorted(os.listdir(out_dir / 'final_results'))
+    assert finals == [f'{i:02d}.png' for i in range(5)]
+    # restored face content (inverted crop) landed in each final image
+    img0 = cv2.imread(str(in_dir / '00.png'))
+    out0 = cv2.imread(str(out_dir / 'final_results' / '00.png'))
+    np.testing.assert_array_equal(out0[:64, :64], 255 - img0[:64, :64])
+    faces = sorted(os.listdir(out_dir / 'restored_faces'))
+    assert len(faces) == 5
