@@ -46,12 +46,17 @@ def bench_aligned(n_batches=(1, 16, 32, 64)):
         x = jax.random.uniform(rng, (batch, 512, 512, 3), jnp.bfloat16,
                                -1.0, 1.0)
         try:
-            float(fwd_sum(variables, x, 0.5))  # compile + warmup
-            float(fwd_sum(variables, x, 0.5))
+            s = fwd_sum(variables, x, 0.5)  # compile + warmup
+            float(fwd_sum(variables, x, 0.5 + 0.0 * s))  # chained form
             n_iter = max(4, int(64 / batch))
             t0 = time.perf_counter()
+            # chain iterations through a data dependency (w_i depends on
+            # the previous output) so ONE final scalar fetch forces the
+            # whole sequence — per-call tunnel round trips (~27ms) would
+            # otherwise tax every iteration
             for _ in range(n_iter):
-                float(fwd_sum(variables, x, 0.5))
+                s = fwd_sum(variables, x, 0.5 + 0.0 * s)
+            float(s)
             dt = time.perf_counter() - t0
             results[batch] = batch * n_iter / dt
         except Exception as e:  # OOM at large batch etc.

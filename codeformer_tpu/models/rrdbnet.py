@@ -13,7 +13,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from codeformer_tpu.nn.blocks import FastConv3x3, _PhaseCollapsedUpConv
 from codeformer_tpu.utils.registry import ARCH_REGISTRY
+
+# plain 3x3 convs (phase packing measured slower in-model, see
+# nn/blocks.FastConv3x3); the upsample convs use the fused form below
+_Conv3 = FastConv3x3
 
 
 def pixel_unshuffle(x: jax.Array, scale: int) -> jax.Array:
@@ -32,8 +37,8 @@ class ResidualDenseBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        conv = lambda ch, name: nn.Conv(ch, (3, 3), dtype=self.dtype,  # noqa
-                                        name=name)
+        conv = lambda ch, name: _Conv3(ch, dtype=self.dtype,  # noqa
+                                       name=name)
         x1 = nn.leaky_relu(conv(self.num_grow_ch, 'conv1')(x), 0.2)
         x2 = nn.leaky_relu(conv(self.num_grow_ch, 'conv2')(
             jnp.concatenate((x, x1), -1)), 0.2)
@@ -80,16 +85,18 @@ class RRDBNet(nn.Module):
             feat = pixel_unshuffle(x, 4)
         else:
             feat = x
-        conv = lambda ch, name: nn.Conv(ch, (3, 3), dtype=self.dtype,  # noqa
-                                        name=name)
+        conv = lambda ch, name: _Conv3(ch, dtype=self.dtype,  # noqa
+                                       name=name)
         feat = conv(self.num_feat, 'conv_first')(feat)
         body = feat
         for i in range(self.num_block):
             body = RRDB(self.num_feat, self.num_grow_ch, self.dtype,
                         name=f'body_{i}')(body)
         feat = feat + conv(self.num_feat, 'conv_body')(body)
-        up = lambda z: jnp.repeat(jnp.repeat(z, 2, axis=1), 2, axis=2)  # noqa
-        feat = nn.leaky_relu(conv(self.num_feat, 'conv_up1')(up(feat)), 0.2)
-        feat = nn.leaky_relu(conv(self.num_feat, 'conv_up2')(up(feat)), 0.2)
+        # fused nearest-x2 + conv (4/9 FLOPs, no upsampled intermediate)
+        upconv = lambda name: _PhaseCollapsedUpConv(  # noqa
+            self.num_feat, dtype=self.dtype, name=name)
+        feat = nn.leaky_relu(upconv('conv_up1')(feat), 0.2)
+        feat = nn.leaky_relu(upconv('conv_up2')(feat), 0.2)
         return conv(self.num_out_ch, 'conv_last')(
             nn.leaky_relu(conv(self.num_feat, 'conv_hr')(feat), 0.2))

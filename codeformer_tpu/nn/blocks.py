@@ -20,6 +20,46 @@ from flax import linen as nn
 GroupNorm32 = functools.partial(nn.GroupNorm, num_groups=32, epsilon=1e-6)
 
 
+class FastConv3x3(nn.Module):
+    """3x3 SAME stride-1 conv, drop-in for nn.Conv(features, (3, 3)) with
+    identical parameter names/shapes ('kernel' (3,3,Cin,Cout) + 'bias').
+
+    `enable_phase_packing` dispatches thin-channel high-res shapes to the
+    phase-packed stride-2 form (ops/s2d_conv.py). Measured on v5e it is
+    OFF by default: despite better standalone MXU shapes (K=16C, N=4C),
+    the depth-to-space transpose breaks XLA's GroupNorm/silu fusion
+    chains and the packed model ran ~25% slower end to end
+    (128 -> 96 faces/s). Kept as an exactness-tested building block for
+    future layouts; the win that survived in-model is the fused
+    nearest-x2 upsample conv below.
+    """
+    features: int
+    dtype: Any = jnp.float32
+    min_pixels: int = 256 * 256
+    enable_phase_packing: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from codeformer_tpu.ops.s2d_conv import (conv3x3_phase_packed,
+                                                 use_phase_packing)
+        cin = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        _, h, w, _ = x.shape
+        if self.enable_phase_packing and use_phase_packing(
+                h, w, self.features, self.min_pixels):
+            y = conv3x3_phase_packed(x, kernel)
+        else:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ('NHWC', 'HWIO', 'NHWC'))
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), 'SAME', dimension_numbers=dn)
+        return y + bias.astype(self.dtype)
+
+
 def calc_mean_std(feat: jax.Array, eps: float = 1e-5):
     """Per-sample, per-channel spatial mean/std of an NHWC tensor.
 
@@ -62,9 +102,9 @@ class ResBlock(nn.Module):
     def setup(self):
         out_ch = self.out_channels or self.in_channels
         self.norm1 = GroupNorm32(dtype=self.dtype)
-        self.conv1 = nn.Conv(out_ch, (3, 3), dtype=self.dtype)
+        self.conv1 = FastConv3x3(out_ch, dtype=self.dtype)
         self.norm2 = GroupNorm32(dtype=self.dtype)
-        self.conv2 = nn.Conv(out_ch, (3, 3), dtype=self.dtype)
+        self.conv2 = FastConv3x3(out_ch, dtype=self.dtype)
         if self.in_channels != out_ch:
             self.conv_out = nn.Conv(out_ch, (1, 1), dtype=self.dtype)
 
@@ -131,18 +171,65 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest x2 upsample followed by a 3x3 conv (vqgan_arch.py:129-138)."""
+    """Nearest x2 upsample followed by a 3x3 conv (vqgan_arch.py:129-138).
+
+    TPU-first evaluation: under nearest x2, the 3x3 conv's nine taps
+    collapse onto at most 2x2 distinct source pixels per output phase, so
+    the whole op is computed as four phase-collapsed 2x2 convs at LOW
+    resolution + depth-to-space — 4/9 of the naive FLOPs and the 4x
+    upsampled intermediate never exists in HBM. Parameters are identical
+    to nn.Conv(C, (3, 3)) ('conv/kernel', 'conv/bias'); the math is exact
+    up to f32 accumulation order.
+    """
     in_channels: int
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.conv = nn.Conv(self.in_channels, (3, 3), dtype=self.dtype)
+        # keep the 'conv' scope so checkpoints/converters are unchanged
+        self.conv = _PhaseCollapsedUpConv(self.in_channels,
+                                          dtype=self.dtype)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        # Exact nearest-neighbor 2x: repeat rows/cols. Static-shape friendly,
-        # fuses into the following conv under XLA.
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         return self.conv(x)
+
+
+class _PhaseCollapsedUpConv(nn.Module):
+    """The fused nearest-x2 + 3x3 conv (see Upsample)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    # tap index -> 2-tap window slot, per phase (0: window {-1,0},
+    # 1: window {0,+1}) under nearest x2
+    _MAP = {0: (0, 1, 1), 1: (0, 0, 1)}
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, cin = x.shape
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        outs = []
+        for p in (0, 1):
+            rmap = self._MAP[p]
+            for q in (0, 1):
+                cmap = self._MAP[q]
+                k2 = jnp.zeros((2, 2, cin, self.features), kernel.dtype)
+                for u in range(3):
+                    for v in range(3):
+                        k2 = k2.at[rmap[u], cmap[v]].add(kernel[u, v])
+                pad = ((1 - p, p), (1 - q, q))
+                dn = jax.lax.conv_dimension_numbers(
+                    x.shape, k2.shape, ('NHWC', 'HWIO', 'NHWC'))
+                outs.append(jax.lax.conv_general_dilated(
+                    x, k2, (1, 1), pad, dimension_numbers=dn))
+        y = jnp.stack(outs, axis=3)  # (B, h, w, 4, C) in (p, q) order
+        y = y.reshape(b, h, w, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w,
+                                                  self.features)
+        return y + bias.astype(self.dtype)
 
 
 class FuseSftBlock(nn.Module):
