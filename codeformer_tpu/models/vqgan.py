@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from codeformer_tpu.nn.blocks import (AttnBlock, Downsample, GroupNorm32,
-                                      ResBlock, Upsample)
+from codeformer_tpu.nn.blocks import (AttnBlock, Downsample, FastConv3x3,
+                                      GroupNorm32, ResBlock, Upsample)
 from codeformer_tpu.ops.vq import codebook_lookup, nearest_code_indices
 from codeformer_tpu.utils.registry import ARCH_REGISTRY
 
@@ -143,7 +143,10 @@ def _build_encoder_blocks(nf, emb_dim, ch_mult, num_res_blocks, resolution,
 
     Ordering matches vqgan_arch.py:241-266 exactly (checkpoint parity).
     """
-    blocks = [nn.Conv(nf, (3, 3), dtype=dtype)]
+    # conv_in stays a plain conv: C_in=3 starves the MXU (2.3 TFLOP/s,
+    # 6ms of the 40ms encoder at B=16) but the phase-packed alternative
+    # measured SLOWER end-to-end (docs/roofline.md)
+    blocks = [FastConv3x3(nf, dtype=dtype)]
     taps: Dict[str, int] = {}
     curr_res = resolution
     in_ch_mult = (1,) + tuple(ch_mult)
@@ -202,7 +205,7 @@ def _build_generator_blocks(nf, emb_dim, ch_mult, num_res_blocks, resolution,
             blocks.append(Upsample(block_in, dtype=dtype))
             curr_res *= 2
     blocks.append(GroupNorm32(dtype=dtype))
-    blocks.append(nn.Conv(out_channels, (3, 3), dtype=dtype))
+    blocks.append(FastConv3x3(out_channels, dtype=dtype))
     return blocks, taps
 
 

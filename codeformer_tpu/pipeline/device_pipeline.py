@@ -112,8 +112,14 @@ class DeviceRestorePipeline:
         return self._graphs[key]
 
     def _composite_graph(self, in_hw: Tuple[int, int], c: int, f: int,
-                         face: int, w_edge: int, use_parse: bool):
-        key = ('comp', in_hw, c, f, face, w_edge, use_parse)
+                         face: int, w_edge: int, use_parse: bool,
+                         roi: int = 0):
+        """roi > 0: each face warps/filters into a (roi, roi) window and
+        blends back with dynamic slices — gather points scale with the
+        FACE extent instead of the canvas (the warp is the composite's
+        dominant cost). roi == 0: full-canvas path (fallback for faces
+        whose window would not fit the canvas)."""
+        key = ('comp', in_hw, c, f, face, w_edge, use_parse, roi)
         if key in self._graphs:
             return self._graphs[key]
         h, w = in_hw
@@ -123,10 +129,13 @@ class DeviceRestorePipeline:
         k_erode = max(int(2 * up), 1)
         erosion_radius = max(w_edge * 2, 1)
         blur_size = w_edge * 2 + 1
+        out_hw = (roi, roi) if roi else (hc, wc)
 
-        def run(frames, restored_rgb, face_map, inv_affines, pids):
+        def run(frames, restored_rgb, face_map, inv_affines, roi_pos,
+                pids):
             # frames (C,H,W,3) u8 BGR; restored_rgb (M,face,face,3) u8;
-            # face_map (C*F,) indices into M; inv_affines (C*F,2,3);
+            # face_map (C*F,) indices into M; inv_affines (C*F,2,3) in
+            # window-local coords; roi_pos (C*F,3) = (frame, y0, x0);
             # pids (M,512,512) int32
             from .compositor_xla import _pack, _shape_parse_masks, _unpack
             canv = jax.image.resize(frames.astype(jnp.float32),
@@ -143,7 +152,7 @@ class DeviceRestorePipeline:
                 src = jnp.concatenate([faces, pm], axis=-1)
             else:
                 src = faces
-            warped, inv_mask = warp_affine(src, inv_affines, (hc, wc),
+            warped, inv_mask = warp_affine(src, inv_affines, out_hw,
                                            return_coverage=True)
             inv_restored = warped[..., :3]
             packed = _pack(inv_mask)
@@ -156,15 +165,29 @@ class DeviceRestorePipeline:
                 inv_parse = _pack(warped[..., 3:4])
                 inv_soft_mask = jnp.where(inv_parse < inv_soft_mask,
                                           inv_parse, inv_soft_mask)
-            inv_soft_mask = _unpack(inv_soft_mask)
+            soft = _unpack(inv_soft_mask)
 
-            pasted = pasted.reshape(c, f, hc, wc, 3)
-            soft = inv_soft_mask.reshape(c, f, hc, wc, 1)
+            if roi:
+                # sequential window blends (later faces overwrite, like
+                # the reference's per-face loop)
+                def body(s, acc):
+                    fi, y0, x0 = roi_pos[s, 0], roi_pos[s, 1], roi_pos[s, 2]
+                    patch = jax.lax.dynamic_slice(
+                        acc, (fi, y0, x0, 0), (1, roi, roi, 3))[0]
+                    blended = soft[s] * pasted[s] + (1 - soft[s]) * patch
+                    return jax.lax.dynamic_update_slice(
+                        acc, blended[None], (fi, y0, x0, 0))
 
-            def body(i, acc):
-                return soft[:, i] * pasted[:, i] + (1 - soft[:, i]) * acc
+                out = jax.lax.fori_loop(0, c * f, body, canv)
+            else:
+                pasted = pasted.reshape(c, f, hc, wc, 3)
+                soft = soft.reshape(c, f, hc, wc, 1)
 
-            out = jax.lax.fori_loop(0, f, body, canv)
+                def body(i, acc):
+                    return (soft[:, i] * pasted[:, i]
+                            + (1 - soft[:, i]) * acc)
+
+                out = jax.lax.fori_loop(0, f, body, canv)
             out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
             return out[:, :h_up, :w_up]
 
@@ -256,13 +279,16 @@ class DeviceRestorePipeline:
         else:
             pids = jnp.zeros((m, 512, 512), jnp.int32)
 
-        # composite inputs: (C*F) slots, dummies parked off-canvas
+        # composite inputs: (C*F) slots, dummies parked off-window
         cf = c * fpf
         map_pad = np.zeros((cf,), np.int32)
         ia_pad = np.zeros((cf, 2, 3), np.float32)
         ia_pad[:, 0, 0] = ia_pad[:, 1, 1] = 1.0
-        ia_pad[:, 0, 2] = -4 * face  # off-canvas
+        ia_pad[:, 0, 2] = -4 * face  # off-window -> zero coverage
         areas = [float(face * face)]
+        bboxes = {}  # slot -> (y0, y1, x0, x1) on the upscaled canvas
+        corners_face = np.array([[0, 0, 1], [face, 0, 1], [0, face, 1],
+                                 [face, face, 1]], np.float32)
         for i, ids in enumerate(face_map):
             for k, j in enumerate(ids):
                 slot = i * fpf + k
@@ -271,13 +297,34 @@ class DeviceRestorePipeline:
                 det = abs(inv_affines[j][0, 0] * inv_affines[j][1, 1]
                           - inv_affines[j][0, 1] * inv_affines[j][1, 0])
                 areas.append(face * face * det)
+                cc = corners_face @ inv_affines[j].T  # (4, 2) = (x, y)
+                bboxes[slot] = (cc[:, 1].min(), cc[:, 1].max(),
+                                cc[:, 0].min(), cc[:, 0].max())
         w_edge = int(max(areas) ** 0.5) // 20
         w_edge = min(max((w_edge + 4) // 8 * 8, 4), 64)
 
+        # ROI windows: warp/filter per-face windows instead of full
+        # canvases when every face (+ soft-edge margin) fits one
+        hc, wc = _round_up(h * self.upscale, 128), \
+            _round_up(w * self.upscale, 128)
+        margin = w_edge + 8
+        extent = max((max(y1 - y0, x1 - x0)
+                      for y0, y1, x0, x1 in bboxes.values()), default=0)
+        roi = _round_up(int(extent) + 2 * margin + 2, 128)
+        roi_pos = np.zeros((cf, 3), np.int32)
+        if 0 < roi < min(hc, wc):
+            for slot, (y0, _, x0, _) in bboxes.items():
+                yy = int(np.clip(np.floor(y0) - margin, 0, hc - roi))
+                xx = int(np.clip(np.floor(x0) - margin, 0, wc - roi))
+                roi_pos[slot] = (slot // fpf, yy, xx)
+                ia_pad[slot][:, 2] -= (xx, yy)  # window-local coords
+        else:
+            roi = 0  # face ~ canvas: full-canvas path
+
         comp = self._composite_graph((h, w), c, fpf, face, w_edge,
-                                     self.use_parse)
+                                     self.use_parse, roi)
         return comp(frames_dev, restored, jnp.asarray(map_pad),
-                    jnp.asarray(ia_pad), pids)
+                    jnp.asarray(ia_pad), jnp.asarray(roi_pos), pids)
 
     def restore_frames_device(self, frames):
         """frames: (N, H, W, 3) uint8 BGR (numpy or device). Returns the
