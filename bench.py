@@ -106,12 +106,15 @@ def bench_e2e(n_frames=32, frame_hw=(512, 683), chunk=8):
             return dets, valids
 
     class Helper:
+        # bf16 detection/parsing: the TPU-native precision policy of the
+        # fused pipeline (see cli/whole_image.py); decode/NMS/argmax f32
         face_detector = BenchDetector('retinaface_resnet50',
-                                      allow_random=True)
+                                      allow_random=True,
+                                      dtype=jnp.bfloat16)
         face_template = template
         face_size = (512, 512)
         use_parse = True
-        _parse_model = ParseNet()
+        _parse_model = ParseNet(dtype=jnp.bfloat16)
         _parse_vars = jax.device_put(init_params_fast(
             _parse_model, jnp.zeros((1, 512, 512, 3))))
 

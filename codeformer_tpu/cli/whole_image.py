@@ -39,11 +39,18 @@ def run_whole_images(args, input_img_list, result_root, restorer,
     else:
         face_upsampler = None
 
+    # the fused device pipeline runs detection/parsing in bfloat16 (the
+    # TPU-native precision policy; argmax'd masks and NMS'd boxes are
+    # robust to it) — the classic path stays float32 like the reference
+    import jax.numpy as jnp
+    aux_dtype = (jnp.bfloat16 if getattr(args, 'fused_pipeline', False)
+                 else jnp.float32)
     face_helper = FaceRestoreHelper(
         args.upscale, face_size=512, crop_ratio=(1, 1),
         det_model=args.detection_model, save_ext='png', use_parse=True,
         allow_random_weights=args.random_init,
-        compositor=getattr(args, 'compositor', 'xla'))
+        compositor=getattr(args, 'compositor', 'xla'),
+        det_dtype=aux_dtype, parse_dtype=aux_dtype)
 
     w = args.fidelity_weight
     video_name = (os.path.splitext(os.path.basename(args.input_path))[0]

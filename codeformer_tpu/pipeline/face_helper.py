@@ -74,7 +74,12 @@ class FaceRestoreHelper:
                  pad_blur: bool = False, use_parse: bool = False,
                  device=None, allow_random_weights: bool = False,
                  detector: Optional[FaceDetector] = None,
-                 compositor: str = 'xla'):
+                 compositor: str = 'xla',
+                 det_dtype=jnp.float32, parse_dtype=jnp.float32):
+        # det/parse_dtype: float32 matches the reference exactly;
+        # bfloat16 roughly halves those stages on TPU (argmax'd parse
+        # maps and NMS'd boxes are robust to it) — the fused device
+        # pipeline and bench run them in bfloat16
         # 'xla' (default: the on-device batched compositor) | 'cv2' (the
         # pixel-parity oracle transcribed from the reference). The helper
         # falls back to cv2 automatically for inputs the XLA graph doesn't
@@ -133,10 +138,11 @@ class FaceRestoreHelper:
         else:
             from .detector import init_detection_model
             self.face_detector = detector or init_detection_model(
-                det_model, allow_random=allow_random_weights)
+                det_model, allow_random=allow_random_weights,
+                dtype=det_dtype)
 
         self.use_parse = use_parse
-        self._parse_model = ParseNet()
+        self._parse_model = ParseNet(dtype=parse_dtype)
         if os.path.exists(PARSENET_WEIGHTS):
             self._parse_vars = load_checkpoint(PARSENET_WEIGHTS)
         elif allow_random_weights:
