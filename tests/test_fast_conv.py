@@ -66,3 +66,18 @@ def test_upsample_fused_matches_naive():
     assert got.shape == (2, 24, 20, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(naive),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_conv3x3_matches_direct():
+    """Pallas phase-pair conv kernel (ops/pallas_conv.py) vs lax conv."""
+    from codeformer_tpu.ops.pallas_conv import TY, conv3x3_pallas
+    rng = np.random.default_rng(3)
+    for b, h, w, cin, cout in ((2, TY * 2, 16, 8, 8),
+                               (1, TY * 3, 10, 8, 16)):
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+        got = conv3x3_pallas(x, k, bias)
+        want = _direct_conv3x3(x, k) + bias
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
