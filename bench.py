@@ -90,6 +90,11 @@ def bench_e2e(n_frames=32, frame_hw=(512, 683), chunk=8):
         """Real detection graph runs (timed); outputs are overridden with
         one synthetic face per frame so downstream stages always run."""
 
+        # random weights saturate the NMS keep-set, which would trigger
+        # the 32->128->512 escalation EVERY call — real weights don't;
+        # pin the ceiling so the bench times one detection pass
+        MAX_FACES_CEILING = 32
+
         def batched_detect_device(self, frames_dev, det_hw, **kw):
             dets, valids = super().batched_detect_device(
                 frames_dev, det_hw, **kw)

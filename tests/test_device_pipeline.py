@@ -174,3 +174,51 @@ def test_device_pipeline_no_faces(tiny_restorer):
     ref = cv2.resize(frame, (1040, 1040), interpolation=cv2.INTER_LINEAR)
     diff = np.abs(out.astype(np.float32) - ref.astype(np.float32))
     assert diff.mean() < 1.5, diff.mean()
+
+
+def test_device_pipeline_fullcanvas_fallback(tiny_restorer):
+    """A face as large as the frame forces the full-canvas composite
+    path (ROI window would not fit); results must still match the
+    classic path."""
+    from codeformer_tpu.pipeline.device_pipeline import DeviceRestorePipeline
+    from codeformer_tpu.pipeline.video import restore_video_frames
+    import codeformer_tpu.pipeline.device_pipeline as dp_mod
+
+    rng = np.random.default_rng(4)
+    frames = [rng.uniform(30, 220, (520, 560, 3)).astype(np.uint8)]
+
+    # landmarks spanning nearly the whole frame -> face ~ canvas
+    big = np.array(
+        [[192.98138, 239.94708], [318.90277, 240.1936],
+         [256.63416, 314.01935], [201.26117, 371.41043],
+         [313.08905, 371.15118]], np.float32)
+    big_lm = (big - 256.0) * 0.95 + np.array([280.0, 260.0])
+
+    class BigDet(_InjectedDetector):
+        frame_hw = (520, 560)
+
+        def _det_rows(self, n, det_scale, frame_hw):
+            lm = big_lm * det_scale
+            row = np.zeros(15, np.float32)
+            row[0:4] = [lm[:, 0].min(), lm[:, 1].min(),
+                        lm[:, 0].max(), lm[:, 1].max()]
+            row[4] = 0.99
+            row[5:15] = lm.reshape(-1)
+            return np.tile(row, (n, 1))
+
+    helper_a = _Helper(use_parse=False)
+    helper_a.face_detector = BigDet()
+    classic = restore_video_frames(frames, tiny_restorer, helper_a,
+                                   w=0.5, upscale=2, resize=640)
+
+    helper_b = _Helper(use_parse=False)
+    helper_b.face_detector = BigDet()
+    pipe = DeviceRestorePipeline(tiny_restorer, helper_b, upscale=2,
+                                 frame_chunk=1, w=0.5)
+    fused = pipe.restore_frames(frames)
+
+    # the fallback graph (roi=0) must have been selected
+    assert any(k[0] == 'comp' and k[-1] == 0 for k in pipe._graphs)
+    diff = np.abs(classic[0].astype(np.float32)
+                  - fused[0].astype(np.float32))
+    assert diff.mean() < 3.0, diff.mean()
