@@ -285,7 +285,7 @@ class DeviceRestorePipeline:
         ia_pad = np.zeros((cf, 2, 3), np.float32)
         ia_pad[:, 0, 0] = ia_pad[:, 1, 1] = 1.0
         ia_pad[:, 0, 2] = -4 * face  # off-window -> zero coverage
-        areas = [float(face * face)]
+        areas = []  # real faces only (dummies must not set w_edge)
         bboxes = {}  # slot -> (y0, y1, x0, x1) on the upscaled canvas
         corners_face = np.array([[0, 0, 1], [face, 0, 1], [0, face, 1],
                                  [face, face, 1]], np.float32)
@@ -300,7 +300,7 @@ class DeviceRestorePipeline:
                 cc = corners_face @ inv_affines[j].T  # (4, 2) = (x, y)
                 bboxes[slot] = (cc[:, 1].min(), cc[:, 1].max(),
                                 cc[:, 0].min(), cc[:, 0].max())
-        w_edge = int(max(areas) ** 0.5) // 20
+        w_edge = int(max(areas, default=float(face * face)) ** 0.5) // 20
         w_edge = min(max((w_edge + 4) // 8 * 8, 4), 64)
 
         # ROI windows: warp/filter per-face windows instead of full
