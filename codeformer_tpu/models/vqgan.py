@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from codeformer_tpu.nn.blocks import (AttnBlock, Downsample, FastConv3x3,
-                                      GroupNorm32, ResBlock, Upsample)
+                                      GroupNorm32, ResBlock, Upsample,
+                                      run_resblocks, run_edge_block)
 from codeformer_tpu.ops.vq import codebook_lookup, nearest_code_indices
 from codeformer_tpu.utils.registry import ARCH_REGISTRY
 
@@ -229,10 +230,21 @@ class Encoder(nn.Module):
                  tap_indices: Sequence[int] = ()) -> Tuple[jax.Array, Dict]:
         feats = {}
         tap_indices = set(tap_indices)
-        for i, blk in enumerate(self.blocks):
-            x = blk(x)
+        i = 0
+        while i < len(self.blocks):
+            x, j = run_resblocks(self.blocks, i, x, stop_after=tap_indices)
+            if j > i:                   # fused colpack run (no taps inside)
+                i = j
+                continue
+            if i not in tap_indices:
+                x, handled = run_edge_block(self.blocks[i], x)
+                if handled:
+                    i += 1
+                    continue
+            x = self.blocks[i](x)
             if i in tap_indices:
                 feats[str(x.shape[1])] = x
+            i += 1
         return x, feats
 
 
@@ -260,10 +272,17 @@ class Generator(nn.Module):
 
     def __call__(self, x: jax.Array, fuse_fns: Optional[Dict] = None) -> jax.Array:
         fuse_fns = fuse_fns or {}
-        for i, blk in enumerate(self.blocks):
-            x = blk(x)
+        i = 0
+        while i < len(self.blocks):
+            x, j = run_resblocks(self.blocks, i, x,
+                                 stop_after=set(fuse_fns))
+            if j > i:                   # fused colpack run (no SFT inside)
+                i = j
+                continue
+            x = self.blocks[i](x)
             if i in fuse_fns:
                 x = fuse_fns[i](x)
+            i += 1
         return x
 
 

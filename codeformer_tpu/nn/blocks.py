@@ -9,6 +9,7 @@ compute policy, and no Python-side dynamic control flow inside jit.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional
 
 import jax
@@ -94,6 +95,10 @@ class ResBlock(nn.Module):
     Reference: vqgan_arch.py:141-164. `in_channels` must be given statically
     because the 1x1 skip projection exists only when in != out, and flax
     setup-based modules fix their parameter structure ahead of tracing.
+
+    On TPU with a bf16 compute policy, runs of consecutive 512²
+    ResBlocks dispatch to the stage-resident column-packed Pallas path —
+    see `run_resblocks` below and ops/colpack_conv.py.
     """
     in_channels: int
     out_channels: Optional[int] = None
@@ -119,6 +124,109 @@ class ResBlock(nn.Module):
         if self.in_channels != out_ch:
             x_in = self.conv_out(x_in)
         return x + x_in
+
+
+# --------------------------------------------------------------------
+# Stage-resident colpack dispatch for consecutive ResBlock runs.
+#
+# The 512² C=64 stages dominate the CodeFormer forward and run at ~50%
+# MXU on XLA's conv lowering (docs/roofline.md). `run_resblocks` keeps
+# the whole run in the padded column-packed layout of
+# ops/colpack_conv.py: each GroupNorm+silu+conv(+skip) is ONE Pallas
+# kernel with full 128-lane GEMMs, GroupNorm statistics ride along as
+# per-tile partials from the previous kernel, and the zero-pad
+# relayout happens once per run instead of once per conv.
+# --------------------------------------------------------------------
+
+_COLPACK_MODE = os.environ.get('CODEFORMER_COLPACK', 'off')
+
+
+def set_colpack_mode(mode: str) -> None:
+    """'auto' (TPU+bf16+shape gated), 'off', or 'interpret' (force the
+    fused math through the Pallas interpreter — tests). Call before the
+    first jit trace of the model; traces cache the dispatch decision."""
+    global _COLPACK_MODE
+    assert mode in ('auto', 'off', 'interpret'), mode
+    _COLPACK_MODE = mode
+
+
+def colpack_mode() -> str:
+    return _COLPACK_MODE
+
+
+def _colpack_ok(blk: ResBlock, x: jax.Array) -> bool:
+    from codeformer_tpu.ops.colpack_conv import TY
+    mode = _COLPACK_MODE
+    if mode == 'off' or blk.is_initializing():
+        return False
+    if not isinstance(blk, ResBlock):
+        return False
+    out_ch = blk.out_channels or blk.in_channels
+    b, h, w, c = x.shape
+    shape_ok = (h % TY == 0 and w % 2 == 0 and c == blk.in_channels
+                and c % 64 == 0 and out_ch % 64 == 0)
+    if mode == 'interpret':
+        return shape_ok
+    return (shape_ok and blk.dtype == jnp.bfloat16
+            and jax.default_backend() == 'tpu'
+            and h * w >= 512 * 512)         # only where lanes starve
+
+
+def run_resblocks(blocks, i: int, x: jax.Array, stop_after=()):
+    """Apply the maximal colpack-eligible run of consecutive ResBlocks
+    starting at blocks[i]. Returns (y, next_i); next_i == i means no
+    block was eligible and the caller should apply blocks[i] normally.
+    `stop_after`: block indices whose OUTPUT the caller needs (encoder
+    taps, generator fuse points) — the run never crosses one.
+
+    Numerics match the sequential ResBlocks to bf16 rounding (the conv
+    math is exact; GroupNorm statistics are computed from sum/sumsq
+    partials instead of a two-pass mean/var).
+    """
+    from codeformer_tpu.ops import colpack_conv as cc
+    if not (isinstance(blocks[i], ResBlock) and _colpack_ok(blocks[i], x)):
+        return x, i
+    interp = _COLPACK_MODE == 'interpret'
+    dtype = blocks[i].dtype
+    h, w = x.shape[1], x.shape[2]
+
+    xc = cc.to_colpack(x.astype(dtype))
+    st = cc.colpack_stats(xc)
+    j = i
+    c_cur = blocks[i].in_channels
+    while j < len(blocks) and isinstance(blocks[j], ResBlock) \
+            and blocks[j].in_channels == c_cur \
+            and (j == i or (j - 1) not in stop_after) \
+            and _colpack_ok(blocks[j], jax.ShapeDtypeStruct(
+                (1, h, w, c_cur), dtype)):
+        blk = blocks[j]
+        out_ch = blk.out_channels or blk.in_channels
+        p1 = blk.norm1.variables['params']
+        p2 = blk.norm2.variables['params']
+        k1 = blk.conv1.variables['params']
+        k2 = blk.conv2.variables['params']
+        a1, b1 = cc.gn_affine(st, p1['scale'], p1['bias'], h * w)
+        wc1, wo1 = cc.pack_weights(k1['kernel'].astype(dtype))
+        h1 = cc.silu_affine(xc, a1, b1)
+        y1, st1 = cc.conv3x3_dots(
+            h1, wc1, wo1, jnp.tile(k1['bias'].astype(dtype), 2),
+            interpret=interp)
+        a2, b2 = cc.gn_affine(st1, p2['scale'], p2['bias'], h * w)
+        wc2, wo2 = cc.pack_weights(k2['kernel'].astype(dtype))
+        if blk.in_channels != out_ch:
+            ks = blk.conv_out.variables['params']
+            w1x1 = cc.pack_1x1(ks['kernel'].astype(dtype))
+            skip_bias = jnp.tile(ks['bias'].astype(dtype), 2)
+        else:
+            w1x1, skip_bias = None, 0.0
+        h2 = cc.silu_affine(y1, a2, b2)
+        xc, st = cc.conv3x3_dots(
+            h2, wc2, wo2,
+            jnp.tile(k2['bias'].astype(dtype), 2) + skip_bias,
+            skip=xc, w1x1=w1x1, interpret=interp)
+        c_cur = out_ch
+        j += 1
+    return cc.from_colpack(xc, c_cur).astype(x.dtype), j
 
 
 class AttnBlock(nn.Module):
@@ -259,3 +367,40 @@ class FuseSftBlock(nn.Module):
         shift = self.shift_2(nn.leaky_relu(self.shift_0(enc_feat), 0.2))
         residual = jnp.asarray(w, dec_feat.dtype) * (dec_feat * scale + shift)
         return dec_feat + residual
+
+
+def run_edge_block(blk, x: jax.Array):
+    """Colpack dispatch for the stage-EDGE blocks around a 512² ResBlock
+    run: conv_in (FastConv3x3 with tiny C_in) and Downsample. Returns
+    (y, True) when handled in the packed domain, (x, False) otherwise.
+
+    Keeping these in the packed domain matters as much as the ResBlock
+    kernels themselves: an XLA conv adjacent to a Pallas call costs a
+    full-feature-map relayout copy (~537 MB / 1.3 ms at 512² C64 B=16,
+    see ops/colpack_conv.py stage-edge section).
+    """
+    from codeformer_tpu.ops import colpack_conv as cc
+    mode = _COLPACK_MODE
+    if mode == 'off' or blk.is_initializing() or x.ndim != 4:
+        return x, False
+    interp = mode == 'interpret'
+    b, h, w, c = x.shape
+    hw_ok = interp or (jax.default_backend() == 'tpu'
+                       and h * w >= 512 * 512)
+    if isinstance(blk, FastConv3x3) and c <= 4 and w % 2 == 0 and hw_ok \
+            and (interp or blk.dtype == jnp.bfloat16):
+        p = blk.variables['params']
+        y = cc.conv_in_packed(x.astype(blk.dtype),
+                              p['kernel'].astype(blk.dtype),
+                              p['bias'].astype(blk.dtype))
+        return cc.from_colpack(y, blk.features).astype(x.dtype), True
+    if isinstance(blk, Downsample) and c % 64 == 0 and h % (4 * cc.TY) == 0 \
+            and w % 4 == 0 and hw_ok \
+            and (interp or blk.dtype == jnp.bfloat16):
+        p = blk.conv.variables['params']
+        xc = cc.to_colpack(x.astype(blk.dtype))
+        y = cc.downsample_dots(xc, p['kernel'].astype(blk.dtype),
+                               p['bias'].astype(blk.dtype),
+                               interpret=interp)
+        return cc.from_colpack(y, c).astype(x.dtype), True
+    return x, False
