@@ -26,11 +26,16 @@ A100_REF_FACES_PER_SEC = 12.0
 
 def bench_aligned(n_batches=(1, 16, 32, 64)):
     """Aligned 512x512 faces/sec through the bare CodeFormer graph."""
+    import os
     import jax
     import jax.numpy as jnp
     from codeformer_tpu.models import CodeFormer
+    from codeformer_tpu.nn.blocks import set_colpack_mode
     from codeformer_tpu.utils.checkpoint import init_params_fast
 
+    if os.environ.get('CODEFORMER_COLPACK'):
+        # experimental Pallas enclaves; in-model parity with XLA on v5e
+        set_colpack_mode(os.environ['CODEFORMER_COLPACK'])
     model = CodeFormer(dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     variables = jax.device_put(init_params_fast(

@@ -18,7 +18,8 @@ from flax import linen as nn
 
 from codeformer_tpu.nn.blocks import (AttnBlock, Downsample, FastConv3x3,
                                       GroupNorm32, ResBlock, Upsample,
-                                      run_resblocks, run_edge_block)
+                                      run_resblocks, run_edge_block,
+                                      run_decoder_tail)
 from codeformer_tpu.ops.vq import codebook_lookup, nearest_code_indices
 from codeformer_tpu.utils.registry import ARCH_REGISTRY
 
@@ -272,13 +273,15 @@ class Generator(nn.Module):
 
     def __call__(self, x: jax.Array, fuse_fns: Optional[Dict] = None) -> jax.Array:
         fuse_fns = fuse_fns or {}
+        # NOTE: no bare run_resblocks here — a packed run sandwiched
+        # between XLA ops loses ~11 ms to boundary relayouts (measured,
+        # 512² B=16); only the full packed tail enclave wins.
         i = 0
         while i < len(self.blocks):
-            x, j = run_resblocks(self.blocks, i, x,
-                                 stop_after=set(fuse_fns))
-            if j > i:                   # fused colpack run (no SFT inside)
-                i = j
-                continue
+            x, handled = run_decoder_tail(self.blocks, i, x,
+                                          fuse_fns=fuse_fns)
+            if handled:                 # packed enclave ran to the end
+                return x
             x = self.blocks[i](x)
             if i in fuse_fns:
                 x = fuse_fns[i](x)

@@ -179,6 +179,11 @@ def run_resblocks(blocks, i: int, x: jax.Array, stop_after=()):
     `stop_after`: block indices whose OUTPUT the caller needs (encoder
     taps, generator fuse points) — the run never crosses one.
 
+    Only pays off when the run's entry and exit stay in the packed
+    domain (measured: a packed run sandwiched between XLA ops loses
+    ~11 ms to boundary relayouts at 512² B=16 — the decoder needs the
+    packed Upsample entry and GN+conv_out exit of run_decoder_tail).
+
     Numerics match the sequential ResBlocks to bf16 rounding (the conv
     math is exact; GroupNorm statistics are computed from sum/sumsq
     partials instead of a two-pass mean/var).
@@ -186,12 +191,25 @@ def run_resblocks(blocks, i: int, x: jax.Array, stop_after=()):
     from codeformer_tpu.ops import colpack_conv as cc
     if not (isinstance(blocks[i], ResBlock) and _colpack_ok(blocks[i], x)):
         return x, i
-    interp = _COLPACK_MODE == 'interpret'
     dtype = blocks[i].dtype
     h, w = x.shape[1], x.shape[2]
-
     xc = cc.to_colpack(x.astype(dtype))
     st = cc.colpack_stats(xc)
+    xc, st, c_cur, j = _packed_run(blocks, i, xc, st, h, w, stop_after)
+    return cc.from_colpack(xc, c_cur).astype(x.dtype), j
+
+
+def _packed_run(blocks, i: int, xc, st, h: int, w: int, stop_after=()):
+    """Run consecutive eligible ResBlocks in the packed domain.
+
+    xc: col-packed (B, h, w/2, 2C); st: its stats partials (gn_affine
+    format). Returns (xc, st, c_out, next_i) still in the packed domain
+    — st carries the LAST conv's output partials so a packed consumer
+    (GroupNorm epilogue) gets its statistics for free.
+    """
+    from codeformer_tpu.ops import colpack_conv as cc
+    interp = _COLPACK_MODE == 'interpret'
+    dtype = blocks[i].dtype
     j = i
     c_cur = blocks[i].in_channels
     while j < len(blocks) and isinstance(blocks[j], ResBlock) \
@@ -226,7 +244,101 @@ def run_resblocks(blocks, i: int, x: jax.Array, stop_after=()):
             skip=xc, w1x1=w1x1, interpret=interp)
         c_cur = out_ch
         j += 1
-    return cc.from_colpack(xc, c_cur).astype(x.dtype), j
+    return xc, st, c_cur, j
+
+
+def _upsample_colpack(blk, x: jax.Array) -> jax.Array:
+    """Upsample (nearest x2 + 3x3 conv) emitting the col-packed layout.
+
+    Same phase-collapsed math as _PhaseCollapsedUpConv, but the four
+    low-res phase outputs assemble straight into (B, 2H, W, 2C): column
+    phases concatenate on lanes and row phases stack on a new axis that
+    merges row-major — no depth-to-space transpose, and the packed
+    consumer sees a plain row-major array (no relayout at the Pallas
+    boundary).
+    """
+    p = blk.conv.variables['params']
+    kernel = p['kernel'].astype(blk.dtype)
+    bias = p['bias'].astype(blk.dtype)
+    x = x.astype(blk.dtype)
+    b, h, w, cin = x.shape
+    cmap = _PhaseCollapsedUpConv._MAP
+    feats = kernel.shape[-1]
+
+    def phase(pr, qc):
+        k2 = jnp.zeros((2, 2, cin, feats), kernel.dtype)
+        rmap, cm = cmap[pr], cmap[qc]
+        for u in range(3):
+            for v in range(3):
+                k2 = k2.at[rmap[u], cm[v]].add(kernel[u, v])
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k2.shape, ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(
+            x, k2, (1, 1), ((1 - pr, pr), (1 - qc, qc)),
+            dimension_numbers=dn)
+
+    rows = [jnp.concatenate([phase(pr, 0), phase(pr, 1)], axis=-1)
+            for pr in (0, 1)]                       # (B, h, w, 2C) x2
+    y = jnp.stack(rows, axis=2)                     # (B, h, 2, w, 2C)
+    y = y.reshape(b, 2 * h, w, 2 * feats)           # free: rows row-major
+    return y + jnp.tile(bias, 2)
+
+
+def run_decoder_tail(blocks, i: int, x: jax.Array, fuse_fns=()):
+    """Generator tail [Upsample, ResBlock+, GroupNorm, FastConv3x3] in
+    one packed enclave. Returns (rgb, True) when handled, (x, False)
+    otherwise.
+
+    A packed ResBlock run pays ~11 ms of boundary relayouts at 512² B=16
+    when sandwiched between XLA ops; here the Upsample ENTERS the packed
+    layout for free (_upsample_colpack) and the final GroupNorm+silu+
+    conv_out consume the run's emitted statistics, so the only XLA<->
+    Pallas boundary is the (B, 512, 512, 3) RGB output (25 MB at B=16).
+    Reference semantics: vqgan_arch.py:290-316 tail + CodeFormer main
+    branch (codeformer_arch.py:223-280).
+    """
+    from codeformer_tpu.ops import colpack_conv as cc
+    n = len(blocks)
+    mode = _COLPACK_MODE
+    if mode == 'off' or x.ndim != 4 or not isinstance(blocks[i], Upsample):
+        return x, False
+    if blocks[i].is_initializing():
+        return x, False
+    j = i + 1
+    while j < n and isinstance(blocks[j], ResBlock):
+        j += 1
+    if not (j > i + 1 and j == n - 2
+            and isinstance(blocks[n - 2], nn.GroupNorm)
+            and isinstance(blocks[n - 1], FastConv3x3)):
+        return x, False
+    if any(k in fuse_fns for k in range(i, n)):
+        return x, False
+    b, h, w, c = x.shape
+    h2, w2 = 2 * h, 2 * w
+    dtype = blocks[i + 1].dtype
+    if not _colpack_ok(blocks[i + 1],
+                       jax.ShapeDtypeStruct((1, h2, w2, c), dtype)):
+        return x, False
+    interp = mode == 'interpret'
+
+    xc = _upsample_colpack(blocks[i], x)
+    st = cc.colpack_stats(xc)
+    xc, st, c_cur, j2 = _packed_run(blocks, i + 1, xc, st, h2, w2)
+    if j2 != n - 2:            # a mid-run ineligible block: bail to XLA
+        y = cc.from_colpack(xc, c_cur).astype(x.dtype)
+        for k in range(j2, n):
+            y = blocks[k](y)
+        return y, True
+    gn = blocks[n - 2].variables['params']
+    co = blocks[n - 1]
+    pco = co.variables['params']
+    a, bb = cc.gn_affine(st, gn['scale'], gn['bias'], h2 * w2)
+    hf = cc.apply_affine(xc, a, bb)     # no swish before conv_out
+    wc6, wo6 = cc.pack_weights(pco['kernel'].astype(dtype))
+    y, _ = cc.conv3x3_dots(hf, wc6, wo6,
+                           jnp.tile(pco['bias'].astype(dtype), 2),
+                           interpret=interp)
+    return cc.from_colpack(y, co.features).astype(x.dtype), True
 
 
 class AttnBlock(nn.Module):

@@ -269,6 +269,14 @@ def silu_affine(xc: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
     return out.astype(xc.dtype)
 
 
+def apply_affine(xc: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """GroupNorm WITHOUT activation: x * a + b per packed lane (the
+    generator/encoder tails run normalize -> conv directly, no swish —
+    reference vqgan_arch.py:313-314)."""
+    out = xc.astype(jnp.float32) * a[:, None, None] + b[:, None, None]
+    return out.astype(xc.dtype)
+
+
 def _dots_kernel(hf, wc, wo, bias, *rest, n_tiles, ci2, wp, ty, h_img,
                  skip_mode):
     it = iter(rest)
@@ -368,7 +376,7 @@ def _dots_kernel(hf, wc, wo, bias, *rest, n_tiles, ci2, wp, ty, h_img,
 def conv3x3_dots(hf: jax.Array, wc: jax.Array, wo: jax.Array,
                  bias2: jax.Array, skip: Optional[jax.Array] = None,
                  w1x1: Optional[jax.Array] = None,
-                 interpret: bool = False):
+                 interpret: bool = False, ty: Optional[int] = None):
     """3x3 SAME conv dots over a pre-activated col-packed map (+ skip).
 
     hf: (B, H, Wp, 2Ci) — silu(gn(x)) from silu_affine(), unpadded.
@@ -379,9 +387,10 @@ def conv3x3_dots(hf: jax.Array, wc: jax.Array, wo: jax.Array,
     """
     b, h, wp, ci2 = hf.shape
     co2 = wc.shape[-1]
-    # row tile: TY at ci2<=128; halved for wide inputs to stay inside
-    # the 16 MB scoped-VMEM stack
-    ty = TY if ci2 <= 128 else TY // 2
+    # row tile: TY at ci2<=256 (window 2*(TY+2)*272*256*2B = 5 MB of the
+    # 16 MB scoped-VMEM stack); halved beyond that
+    if ty is None:
+        ty = TY if ci2 <= 256 else TY // 2
     assert h % ty == 0 and h // ty >= 2, (h, ty)
     n_tiles = h // ty
     ct = LPAD + wp + LPAD

@@ -9,6 +9,7 @@ scalar — no recompile per w.
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -16,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from codeformer_tpu.models import CodeFormer
+from codeformer_tpu.nn.blocks import set_colpack_mode
 from codeformer_tpu.utils.checkpoint import init_params_fast, load_checkpoint
 from codeformer_tpu.utils.misc import setup_jax
 
@@ -39,6 +41,12 @@ class CodeFormerRestorer:
         face batch is sharded across it (multi-chip serving); buckets are
         rounded up to multiples of the data-axis size."""
         setup_jax()  # persistent compilation cache
+        if os.environ.get('CODEFORMER_COLPACK'):
+            # experimental: stage-resident Pallas conv enclaves for the
+            # 512x512 stages (forward-only kernels). Measured in-model at
+            # parity-to-slightly-slower vs XLA's fused lowering on v5e
+            # (docs/roofline.md "colpack enclaves"), so off by default.
+            set_colpack_mode(os.environ['CODEFORMER_COLPACK'])
         self.face_size = face_size
         self.mesh = mesh
         if mesh is not None:

@@ -229,3 +229,58 @@ def test_encoder_stage_interpret_parity(rng, interpret_mode):
     got = Stage(fused=True).apply(v, img)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_upsample_colpack_exact(rng, interpret_mode):
+    """_upsample_colpack == Upsample module output, reshaped."""
+    from codeformer_tpu.nn.blocks import Upsample, _upsample_colpack
+    b, h, w, c = 1, cc.TY, 16, 64
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    m = Upsample(c)
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(v, x)
+
+    class _Probe(nn.Module):
+        def setup(self):
+            self.up = Upsample(c)
+
+        def __call__(self, x):
+            return _upsample_colpack(self.up, x)
+
+    got = cc.from_colpack(
+        _Probe().apply({'params': {'up': v['params']}}, x), c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_decoder_tail_interpret_parity(rng, interpret_mode):
+    """[Upsample, RB, RB, GN, conv_out] enclave vs the sequential blocks."""
+    from codeformer_tpu.nn.blocks import (FastConv3x3, GroupNorm32,
+                                          Upsample, run_decoder_tail)
+
+    class Tail(nn.Module):
+        fused: bool = False
+
+        def setup(self):
+            self.blocks = [Upsample(128), ResBlock(128, 64),
+                           ResBlock(64, 64), GroupNorm32(),
+                           FastConv3x3(3)]
+
+        def __call__(self, x):
+            if self.fused:
+                y, handled = run_decoder_tail(self.blocks, 0, x)
+                assert handled
+                return y
+            for blk in self.blocks:     # reference: NO swish before
+                x = blk(x)              # conv_out (vqgan_arch.py:313-314)
+            return x
+
+    b, h, w = 1, cc.TY, 16
+    x = jnp.asarray(0.5 * rng.standard_normal((b, h, w, 128)), jnp.float32)
+    ref_m = Tail(fused=False)
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    ref = ref_m.apply(v, x)
+    got = Tail(fused=True).apply(v, x)
+    assert got.shape == (b, 2 * h, 2 * w, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
