@@ -52,13 +52,17 @@ def bench_aligned(n_batches=(1, 16, 32, 64)):
                                -1.0, 1.0)
         try:
             s = fwd_sum(variables, x, 0.5)  # compile + warmup
-            float(fwd_sum(variables, x, 0.5 + 0.0 * s))  # chained form
             n_iter = max(4, int(64 / batch))
-            t0 = time.perf_counter()
             # chain iterations through a data dependency (w_i depends on
             # the previous output) so ONE final scalar fetch forces the
             # whole sequence — per-call tunnel round trips (~27ms) would
-            # otherwise tax every iteration
+            # otherwise tax every iteration. The FIRST chained sequence
+            # of a process runs ~20-60 ms/iter hot (measured tunnel
+            # warm-up artifact), so run one full untimed chain first.
+            for _ in range(n_iter):
+                s = fwd_sum(variables, x, 0.5 + 0.0 * s)
+            float(s)
+            t0 = time.perf_counter()
             for _ in range(n_iter):
                 s = fwd_sum(variables, x, 0.5 + 0.0 * s)
             float(s)
