@@ -24,7 +24,10 @@ import time
 A100_REF_FACES_PER_SEC = 12.0
 
 
-def bench_aligned(n_batches=(1, 16, 32, 64)):
+def bench_aligned(n_batches=(1, 16, 32, 64, 96)):
+    # 96 is the largest bucket that compiles on one v5e (128 OOMs the
+    # compiler); it clears batch-64 by ~16%. The loop breaks at the
+    # first failing bucket, keeping earlier results.
     """Aligned 512x512 faces/sec through the bare CodeFormer graph."""
     import os
     import jax
