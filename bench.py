@@ -80,7 +80,7 @@ def bench_aligned(n_batches=(1, 16, 32, 64, 96)):
     return max(results.values()) if results else 0.0
 
 
-def bench_e2e(n_frames=32, frame_hw=(512, 683), chunk=8):
+def bench_e2e(n_frames=32, frame_hw=(512, 683), chunk=16):
     """End-to-end frames/sec through DeviceRestorePipeline."""
     import numpy as np
     import jax

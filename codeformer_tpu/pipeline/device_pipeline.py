@@ -56,7 +56,7 @@ class DeviceRestorePipeline:
     """
 
     def __init__(self, restorer, face_helper, upscale: int = 2,
-                 frame_chunk: int = 8, detect_resize: int = 640,
+                 frame_chunk: int = 16, detect_resize: int = 640,
                  conf_threshold: float = 0.8,
                  eye_dist_threshold: Optional[float] = 5.0,
                  only_center_face: bool = False, w: float = 0.5):
