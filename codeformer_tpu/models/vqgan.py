@@ -234,7 +234,11 @@ class Encoder(nn.Module):
         i = 0
         while i < len(self.blocks):
             x, j = run_resblocks(self.blocks, i, x, stop_after=tap_indices)
-            if j > i:                   # fused colpack run (no taps inside)
+            if j > i:                   # fused colpack run
+                # the run may legally END on a tapped block (stop_after
+                # only stops it from crossing one) — record its output
+                if (j - 1) in tap_indices:
+                    feats[str(x.shape[1])] = x
                 i = j
                 continue
             if i not in tap_indices:

@@ -138,7 +138,17 @@ class ResBlock(nn.Module):
 # relayout happens once per run instead of once per conv.
 # --------------------------------------------------------------------
 
-_COLPACK_MODE = os.environ.get('CODEFORMER_COLPACK', 'off')
+def _env_colpack_mode() -> str:
+    v = os.environ.get('CODEFORMER_COLPACK', 'off')
+    if v not in ('auto', 'off', 'interpret'):
+        import warnings
+        warnings.warn(f'CODEFORMER_COLPACK={v!r} is not one of '
+                      f"'auto'/'off'/'interpret'; ignoring (mode stays off)")
+        return 'off'
+    return v
+
+
+_COLPACK_MODE = _env_colpack_mode()
 
 
 def set_colpack_mode(mode: str) -> None:
@@ -163,7 +173,10 @@ def _colpack_ok(blk: ResBlock, x: jax.Array) -> bool:
         return False
     out_ch = blk.out_channels or blk.in_channels
     b, h, w, c = x.shape
-    shape_ok = (h % TY == 0 and w % 2 == 0 and c == blk.in_channels
+    # h >= 2*TY: conv3x3_dots needs >= 2 row tiles (colpack_conv.py
+    # asserts h // ty >= 2, and ty halves when ci2 > 256)
+    shape_ok = (h % TY == 0 and h >= 2 * TY and w % 2 == 0
+                and c == blk.in_channels
                 and c % 64 == 0 and out_ch % 64 == 0)
     if mode == 'interpret':
         return shape_ok

@@ -231,6 +231,61 @@ def test_encoder_stage_interpret_parity(rng, interpret_mode):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_encoder_taps_survive_fusion(rng, interpret_mode):
+    """Full-Encoder interpret-mode parity with fusion enabled, covering
+    the tap-as-last-block-of-a-run case: a fused run may legally END on a
+    tapped ResBlock (stop_after only stops it crossing one), and the
+    Encoder must still record that feature (round-2 ADVICE medium)."""
+    from codeformer_tpu.models.vqgan import Encoder
+
+    enc = Encoder(resolution=64, ch_mult=(1, 2), num_res_blocks=2,
+                  attn_resolutions=())
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    v = enc.init(jax.random.PRNGKey(0), x)
+    taps = tuple(enc.apply(v, method=lambda m: m.tap_by_size).values())
+    assert taps, 'encoder built no taps'
+
+    set_colpack_mode('off')
+    ref_out, ref_feats = enc.apply(v, x, tap_indices=taps)
+    set_colpack_mode('interpret')
+    got_out, got_feats = enc.apply(v, x, tap_indices=taps)
+
+    assert set(got_feats) == set(ref_feats), \
+        f'fusion dropped taps: {set(ref_feats) - set(got_feats)}'
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=5e-3, atol=5e-3)
+    for k in ref_feats:
+        np.testing.assert_allclose(np.asarray(got_feats[k]),
+                                   np.asarray(ref_feats[k]),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_colpack_ok_rejects_single_tile():
+    """h == TY would trip conv3x3_dots' n_tiles >= 2 assert; the gate
+    must send it to XLA instead (round-2 ADVICE low)."""
+    from codeformer_tpu.nn.blocks import _colpack_ok
+    set_colpack_mode('interpret')
+    try:
+        blk = ResBlock(64, 64)
+        ok_small = _colpack_ok(
+            blk.bind({'params': ResBlock(64, 64).init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 2 * cc.TY, 16, 64)))['params']}),
+            jnp.zeros((1, cc.TY, 16, 64)))
+        assert not ok_small
+    finally:
+        set_colpack_mode('auto')
+
+
+def test_env_colpack_mode_validates(monkeypatch):
+    from codeformer_tpu.nn.blocks import _env_colpack_mode
+    monkeypatch.setenv('CODEFORMER_COLPACK', 'on')
+    with pytest.warns(UserWarning, match='CODEFORMER_COLPACK'):
+        assert _env_colpack_mode() == 'off'
+    monkeypatch.setenv('CODEFORMER_COLPACK', 'auto')
+    assert _env_colpack_mode() == 'auto'
+
+
 def test_upsample_colpack_exact(rng, interpret_mode):
     """_upsample_colpack == Upsample module output, reshaped."""
     from codeformer_tpu.nn.blocks import Upsample, _upsample_colpack
