@@ -64,11 +64,17 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=['cv2', 'xla'],
                    help='Paste-back compositor: cv2 (pixel parity with '
                         'the reference) or xla (on-device, batched).')
-    p.add_argument('--fused_pipeline', action='store_true',
-                   help='Video path: run the fused device-resident '
-                        'pipeline (pipeline/device_pipeline.py) — frames '
+    p.add_argument('--fused_pipeline', nargs='?', const='on',
+                   default='auto', choices=['auto', 'on', 'off'],
+                   help='Fused device-resident pipeline '
+                        '(pipeline/device_pipeline.py): frames/images '
                         'stay in HBM between detect/align/restore/parse/'
-                        'composite. Requires a retinaface detector.')
+                        'composite. auto (default): use it whenever the '
+                        'guards pass (retinaface detector, no bg/face '
+                        'upsampler, no draw_box, uniform-size non-gray '
+                        'folder images), else fall back to the classic '
+                        'per-stage path. on: require it (error if '
+                        'ineligible). off: always classic.')
     p.add_argument('--profile', action='store_true',
                    help='Print per-stage timings at the end (use '
                         'CODEFORMER_TPU_TRACE=<dir> for a device trace).')

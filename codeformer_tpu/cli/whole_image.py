@@ -21,6 +21,37 @@ from codeformer_tpu.utils import img_util
 from codeformer_tpu.utils.profiler import stage
 
 
+def _fused_mode(args) -> str:
+    """Normalize --fused_pipeline to 'auto' | 'on' | 'off' (older callers
+    may still pass a boolean)."""
+    v = getattr(args, 'fused_pipeline', 'off')
+    if v is True:
+        return 'on'
+    if v in (False, None):
+        return 'off'
+    return v
+
+
+def _fused_ineligibility(args, input_video, input_img_list):
+    """Why the fused device pipeline cannot serve this invocation, or
+    None if it can. For folder inputs the images must already be loaded
+    (uniformity/grayscale checks)."""
+    if args.bg_upsampler == 'realesrgan' or args.face_upsample:
+        return 'bg/face upsampler requested'
+    if args.draw_box:
+        return 'draw_box requested'
+    if not args.detection_model.startswith('retinaface'):
+        return f'detector {args.detection_model} keeps host preprocessing'
+    if not input_video:
+        shapes = {im.shape for im in input_img_list}
+        if len(shapes) != 1:
+            return f'folder images differ in size ({len(shapes)} shapes)'
+        if any(img_util.is_gray(im, threshold=10)
+               for im in input_img_list):
+            return 'grayscale inputs need per-face tone adaptation'
+    return None
+
+
 def run_whole_images(args, input_img_list, result_root, restorer,
                      input_video, video_meta=None):
     if args.bg_upsampler == 'realesrgan':
@@ -39,12 +70,38 @@ def run_whole_images(args, input_img_list, result_root, restorer,
     else:
         face_upsampler = None
 
-    # the fused device pipeline runs detection/parsing in bfloat16 (the
-    # TPU-native precision policy; argmax'd masks and NMS'd boxes are
-    # robust to it) — the classic path stays float32 like the reference
+    # decide fused vs classic BEFORE building the helper (the fused
+    # pipeline runs detection/parsing in bfloat16 — the TPU-native
+    # precision policy; the classic path stays float32 like the
+    # reference). Folder inputs load up front for the eligibility check
+    # (the fused path batches them like video frames anyway).
+    mode = _fused_mode(args)
+    names = None
+    if not input_video:
+        loaded, names = [], []
+        for i, entry in enumerate(input_img_list):
+            if isinstance(entry, str):
+                names.append(os.path.splitext(os.path.basename(entry))[0])
+                loaded.append(cv2.imread(entry, cv2.IMREAD_COLOR))
+            else:
+                names.append(str(i).zfill(6))
+                loaded.append(entry)
+        input_img_list = loaded
+    use_fused = False
+    if mode != 'off':
+        reason = _fused_ineligibility(args, input_video, input_img_list)
+        if reason is None:
+            use_fused = True
+        elif mode == 'on':
+            raise RuntimeError(
+                f'--fused_pipeline on, but the fused pipeline cannot '
+                f'serve this invocation: {reason}')
+        else:
+            print(f'Fused pipeline unavailable ({reason}); '
+                  f'using the classic per-stage path.')
+
     import jax.numpy as jnp
-    aux_dtype = (jnp.bfloat16 if getattr(args, 'fused_pipeline', False)
-                 else jnp.float32)
+    aux_dtype = jnp.bfloat16 if use_fused else jnp.float32
     face_helper = FaceRestoreHelper(
         args.upscale, face_size=512, crop_ratio=(1, 1),
         det_model=args.detection_model, save_ext='png', use_parse=True,
@@ -56,24 +113,49 @@ def run_whole_images(args, input_img_list, result_root, restorer,
     video_name = (os.path.splitext(os.path.basename(args.input_path))[0]
                   if input_video else None)
 
-    # batched fast path for videos: frames flow through each neural stage
-    # in batches (detection / restoration / parsing)
+    if use_fused:
+        # everything device-resident between stages (HBM-to-HBM)
+        from codeformer_tpu.pipeline.device_pipeline import \
+            DeviceRestorePipeline
+        pipe = DeviceRestorePipeline(
+            restorer, face_helper, upscale=args.upscale, w=w,
+            only_center_face=args.only_center_face)
+        if input_video:
+            restored_frames = pipe.restore_frames(input_img_list)
+            for i, frame in enumerate(restored_frames):
+                img_util.imwrite(frame, os.path.join(
+                    result_root, 'final_results', f'{i:06d}.png'))
+            _write_video(args, result_root, video_name, video_meta)
+        else:
+            restored_frames, faces = pipe.restore_frames(
+                input_img_list, return_faces=True)
+            for i, (name, frame) in enumerate(zip(names, restored_frames)):
+                print(f'[{i + 1}/{len(names)}] Processing: {name} '
+                      f'({len(faces[i])} faces)')
+                for idx, (cropped, restored) in enumerate(faces[i]):
+                    img_util.imwrite(cropped, os.path.join(
+                        result_root, 'cropped_faces',
+                        f'{name}_{idx:02d}.png'))
+                    face_name = f'{name}_{idx:02d}.png'
+                    if args.suffix is not None:
+                        face_name = f'{face_name[:-4]}_{args.suffix}.png'
+                    img_util.imwrite(restored, os.path.join(
+                        result_root, 'restored_faces', face_name))
+                save_base = name if args.suffix is None \
+                    else f'{name}_{args.suffix}'
+                img_util.imwrite(frame, os.path.join(
+                    result_root, 'final_results', f'{save_base}.png'))
+        return
+
+    # classic batched fast path for videos: frames flow through each
+    # neural stage in batches (detection / restoration / parsing)
     if input_video and bg_upsampler is None and face_upsampler is None \
             and not args.draw_box:
-        if getattr(args, 'fused_pipeline', False):
-            # everything device-resident between stages (HBM-to-HBM)
-            from codeformer_tpu.pipeline.device_pipeline import \
-                DeviceRestorePipeline
-            pipe = DeviceRestorePipeline(
-                restorer, face_helper, upscale=args.upscale, w=w,
-                only_center_face=args.only_center_face)
-            restored_frames = pipe.restore_frames(input_img_list)
-        else:
-            from codeformer_tpu.pipeline.video import restore_video_frames
-            restored_frames = restore_video_frames(
-                input_img_list, restorer, face_helper, w=w,
-                upscale=args.upscale,
-                only_center_face=args.only_center_face)
+        from codeformer_tpu.pipeline.video import restore_video_frames
+        restored_frames = restore_video_frames(
+            input_img_list, restorer, face_helper, w=w,
+            upscale=args.upscale,
+            only_center_face=args.only_center_face)
         for i, frame in enumerate(restored_frames):
             img_util.imwrite(frame, os.path.join(
                 result_root, 'final_results', f'{i:06d}.png'))
@@ -93,7 +175,8 @@ def run_whole_images(args, input_img_list, result_root, restorer,
                       f'Processing: {img_name}')
                 img = cv2.imread(img_path, cv2.IMREAD_COLOR)
             else:
-                basename = str(i).zfill(6)
+                basename = names[i] if names is not None \
+                    else str(i).zfill(6)
                 img_name = f'{video_name}_{basename}' if input_video \
                     else basename
                 print(f'[{i + 1}/{len(input_img_list)}] '

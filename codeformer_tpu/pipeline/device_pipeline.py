@@ -89,8 +89,10 @@ class DeviceRestorePipeline:
             def run(frames, frame_idx, affines):
                 # frames (C,H,W,3) uint8 BGR; frame_idx (M,); affines
                 # (M,2,3) frame->template. Returns (M,face,face,3) uint8
-                # RGB crops (the restorer's input layout).
-                sel = frames[frame_idx].astype(jnp.float32)[..., ::-1]
+                # RGB crops (the restorer's input layout). Frames stay
+                # uint8 through the warp gather (bytes move, math is f32
+                # — exact and ~2x faster, ops/geometry._bilinear_sample).
+                sel = frames[frame_idx][..., ::-1]
                 faces = warp_affine(sel, affines, (face, face),
                                     border_value=border)
                 return jnp.clip(jnp.round(faces), 0, 255).astype(jnp.uint8)
@@ -142,14 +144,19 @@ class DeviceRestorePipeline:
                                     (c, h_up, w_up, 3), 'linear')
             canv = jnp.pad(canv, ((0, 0), (0, hc - h_up),
                                   (0, wc - w_up), (0, 0)))
-            faces = restored_rgb[face_map].astype(
-                jnp.float32)[..., ::-1]  # BGR like the canvas
+            faces = restored_rgb[face_map][..., ::-1]  # BGR, uint8
             # fused multi-channel warp + free coverage mask + lane-packed
-            # mask filtering (see compositor_xla._build_graph)
+            # mask filtering (see compositor_xla._build_graph). The warp
+            # source stays uint8 so the gather moves bytes (exact for
+            # the u8 faces; the parse mask is quantized to 1/255 — a
+            # <=0.5/255 blend-weight deviation, well under the edge-
+            # width quantization already documented in compositor_xla)
             if use_parse:
                 m = pids.shape[0]
                 pm = _shape_parse_masks(pids, face, m)[face_map]
-                src = jnp.concatenate([faces, pm], axis=-1)
+                pm_u8 = jnp.clip(jnp.round(pm * 255.0), 0,
+                                 255).astype(jnp.uint8)
+                src = jnp.concatenate([faces, pm_u8], axis=-1)
             else:
                 src = faces
             warped, inv_mask = warp_affine(src, inv_affines, out_hw,
@@ -162,7 +169,7 @@ class DeviceRestorePipeline:
             inv_soft_mask = gaussian_blur(inv_mask_center, blur_size)
 
             if use_parse:
-                inv_parse = _pack(warped[..., 3:4])
+                inv_parse = _pack(warped[..., 3:4] / 255.0)
                 inv_soft_mask = jnp.where(inv_parse < inv_soft_mask,
                                           inv_parse, inv_soft_mask)
             soft = _unpack(inv_soft_mask)
@@ -224,9 +231,12 @@ class DeviceRestorePipeline:
             out.append(landmarks)
         return out
 
-    def _restore_chunk_device(self, frames_dev):
+    def _restore_chunk_device(self, frames_dev, collect_faces=None):
         """(C, H, W, 3) uint8 BGR device -> (C, H*up, W*up, 3) uint8 BGR
-        device."""
+        device. `collect_faces`: optional list; appends
+        (cropped_rgb_u8 (M,face,face,3) device, restored_rgb_u8 device,
+        faces-per-frame counts) for callers that save per-face outputs
+        (the folder CLI)."""
         c, h, w = frames_dev.shape[:3]
         det_scale = self.detect_resize / min(h, w)
         det_hw = (int(h * det_scale), int(w * det_scale))
@@ -323,10 +333,14 @@ class DeviceRestorePipeline:
 
         comp = self._composite_graph((h, w), c, fpf, face, w_edge,
                                      self.use_parse, roi)
-        return comp(frames_dev, restored, jnp.asarray(map_pad),
-                    jnp.asarray(ia_pad), jnp.asarray(roi_pos), pids)
+        out = comp(frames_dev, restored, jnp.asarray(map_pad),
+                   jnp.asarray(ia_pad), jnp.asarray(roi_pos), pids)
+        if collect_faces is not None:
+            collect_faces.append((faces_rgb, restored,
+                                  [len(ids) for ids in face_map]))
+        return out
 
-    def restore_frames_device(self, frames):
+    def restore_frames_device(self, frames, collect_faces=None):
         """frames: (N, H, W, 3) uint8 BGR (numpy or device). Returns the
         restored (N, H*up, W*up, 3) uint8 BGR as a DEVICE array."""
         frames = jnp.asarray(frames)
@@ -339,20 +353,43 @@ class DeviceRestorePipeline:
             if r < ck:
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], ck - r, axis=0)])
-            outs.append(self._restore_chunk_device(chunk)[:r])
+            outs.append(self._restore_chunk_device(
+                chunk, collect_faces=collect_faces)[:r])
         return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
-    def restore_frames(self, frames: List[np.ndarray]) -> List[np.ndarray]:
+    def restore_frames(self, frames: List[np.ndarray],
+                       return_faces: bool = False):
         """Host-facing wrapper: handles the min-side-512 upscale rule and
-        fetches the final frames (the only bulk device->host transfer)."""
+        fetches the final frames (the only bulk device->host transfer).
+
+        return_faces=True additionally returns, per frame, the list of
+        (cropped_face_bgr, restored_face_bgr) uint8 pairs — the folder
+        CLI saves these (reference inference_codeformer.py:215-228)."""
         import cv2
         if not frames:
-            return []
+            return ([], []) if return_faces else []
         if min(frames[0].shape[:2]) < 512:
             f = 512.0 / min(frames[0].shape[:2])
             frames = [cv2.resize(fr, (0, 0), fx=f, fy=f,
                                  interpolation=cv2.INTER_LINEAR)
                       for fr in frames]
-        out = self.restore_frames_device(np.stack(frames))
+        collect = [] if return_faces else None
+        out = self.restore_frames_device(np.stack(frames),
+                                         collect_faces=collect)
         out = np.asarray(out)
-        return list(out)
+        if not return_faces:
+            return list(out)
+        faces_per_frame = []
+        for cropped, restored, counts in collect:
+            cropped = np.asarray(cropped)
+            restored = np.asarray(restored)
+            j = 0
+            for n_faces in counts:
+                pairs = [(cropped[j + k][..., ::-1],
+                          restored[j + k][..., ::-1])
+                         for k in range(n_faces)]
+                faces_per_frame.append(pairs)
+                j += n_faces
+        # padded tail chunks repeat the last frame; drop their records
+        faces_per_frame = faces_per_frame[:len(frames)]
+        return list(out), faces_per_frame

@@ -36,10 +36,12 @@ class CodeFormerRestorer:
                  connect_list: Sequence[str] = ('32', '64', '128', '256'),
                  dtype=jnp.bfloat16, face_size: int = 512,
                  batch_buckets: Sequence[int] = (1, 2, 4, 8, 16),
-                 rng_seed: int = 0, mesh=None):
+                 rng_seed: int = 0, mesh=None, model=None):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — the
         face batch is sharded across it (multi-chip serving); buckets are
-        rounded up to multiples of the data-axis size."""
+        rounded up to multiples of the data-axis size.
+        `model`: optional pre-built CodeFormer module (custom topology,
+        e.g. tiny test configs); overrides the arch kwargs above."""
         setup_jax()  # persistent compilation cache
         if os.environ.get('CODEFORMER_COLPACK'):
             # experimental: stage-resident Pallas conv enclaves for the
@@ -54,11 +56,10 @@ class CodeFormerRestorer:
             batch_buckets = sorted({max(b // n, 1) * n
                                     for b in batch_buckets} | {n})
         self.batch_buckets = sorted(batch_buckets)
-        self.model = CodeFormer(dim_embd=dim_embd,
-                                codebook_size=codebook_size, n_head=n_head,
-                                n_layers=n_layers,
-                                connect_list=tuple(connect_list),
-                                dtype=dtype)
+        self.model = model if model is not None else CodeFormer(
+            dim_embd=dim_embd, codebook_size=codebook_size, n_head=n_head,
+            n_layers=n_layers, connect_list=tuple(connect_list),
+            dtype=dtype)
         if checkpoint is not None:
             self.variables = load_checkpoint(checkpoint)
         else:

@@ -139,7 +139,13 @@ def test_device_pipeline_matches_classic_path(tiny_restorer):
     pipe = DeviceRestorePipeline(tiny_restorer, _Helper(use_parse=False),
                                  upscale=2, frame_chunk=2,
                                  detect_resize=640, w=0.5)
-    fused = pipe.restore_frames(frames)
+    fused, faces = pipe.restore_frames(frames, return_faces=True)
+
+    # per-frame (cropped, restored) pairs for the folder CLI's outputs
+    assert [len(f) for f in faces] == [1, 1]
+    for cropped, restored in [p for fr in faces for p in fr]:
+        assert cropped.shape == restored.shape == (FACE, FACE, 3)
+        assert cropped.dtype == restored.dtype == np.uint8
 
     assert len(classic) == len(fused) == 2
     assert classic[0].shape == fused[0].shape == (1080, 1440, 3)

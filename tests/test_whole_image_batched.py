@@ -64,6 +64,95 @@ class _StubRestorer:
         return [255 - f for f in faces]
 
 
+class _StubDevicePipeline:
+    """Records construction + restore_frames calls for routing tests."""
+    calls = []
+
+    def __init__(self, restorer, helper, **kw):
+        self.kw = kw
+
+    def restore_frames(self, frames, return_faces=False):
+        _StubDevicePipeline.calls.append(len(frames))
+        up = [cv2.resize(f, (f.shape[1] * 2, f.shape[0] * 2))
+              for f in frames]
+        if not return_faces:
+            return up
+        faces = [[(f[:64, :64].copy(), 255 - f[:64, :64])]
+                 for f in frames]
+        return up, faces
+
+
+def _cli_args(in_dir, fused='auto', detection='retinaface_resnet50'):
+    return SimpleNamespace(
+        bg_upsampler='None', face_upsample=False, upscale=2,
+        detection_model=detection, fidelity_weight=0.5,
+        input_path=str(in_dir), draw_box=False, suffix=None,
+        only_center_face=False, random_init=True, compositor='xla',
+        save_video_fps=None, fused_pipeline=fused)
+
+
+def _write_folder(tmp_path, shapes):
+    in_dir = tmp_path / 'in'
+    in_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i, (h, w) in enumerate(shapes):
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        cv2.imwrite(str(in_dir / f'{i:02d}.png'), img)
+    out_dir = tmp_path / 'out'
+    for sub in ('cropped_faces', 'restored_faces', 'final_results'):
+        (out_dir / sub).mkdir(parents=True)
+    return in_dir, out_dir
+
+
+def test_fused_auto_routes_uniform_folder(tmp_path, monkeypatch):
+    """auto + uniform-size folder + retinaface -> the fused device
+    pipeline serves the folder and per-face outputs are still saved."""
+    import codeformer_tpu.pipeline.device_pipeline as dp_mod
+    monkeypatch.setattr(wi, 'FaceRestoreHelper', _StubHelper)
+    monkeypatch.setattr(dp_mod, 'DeviceRestorePipeline',
+                        _StubDevicePipeline)
+    _StubDevicePipeline.calls = []
+    in_dir, out_dir = _write_folder(tmp_path, [(80, 96)] * 3)
+    paths = sorted(str(p) for p in in_dir.iterdir())
+    restorer = _StubRestorer()
+    wi.run_whole_images(_cli_args(in_dir), paths, str(out_dir), restorer,
+                        input_video=False)
+    assert _StubDevicePipeline.calls == [3]     # fused path took it
+    assert restorer.calls == []                 # classic path unused
+    assert sorted(os.listdir(out_dir / 'final_results')) == \
+        [f'{i:02d}.png' for i in range(3)]
+    assert sorted(os.listdir(out_dir / 'restored_faces')) == \
+        [f'{i:02d}_00.png' for i in range(3)]
+    assert sorted(os.listdir(out_dir / 'cropped_faces')) == \
+        [f'{i:02d}_00.png' for i in range(3)]
+
+
+def test_fused_auto_falls_back_on_mixed_sizes(tmp_path, monkeypatch):
+    import codeformer_tpu.pipeline.device_pipeline as dp_mod
+    monkeypatch.setattr(wi, 'FaceRestoreHelper', _StubHelper)
+    monkeypatch.setattr(dp_mod, 'DeviceRestorePipeline',
+                        _StubDevicePipeline)
+    _StubDevicePipeline.calls = []
+    in_dir, out_dir = _write_folder(tmp_path, [(80, 96), (96, 80)])
+    paths = sorted(str(p) for p in in_dir.iterdir())
+    restorer = _StubRestorer()
+    wi.run_whole_images(_cli_args(in_dir), paths, str(out_dir), restorer,
+                        input_video=False)
+    assert _StubDevicePipeline.calls == []      # fused path skipped
+    assert restorer.calls == [2]                # classic batched path ran
+
+
+def test_fused_on_raises_when_ineligible(tmp_path, monkeypatch):
+    import pytest
+    monkeypatch.setattr(wi, 'FaceRestoreHelper', _StubHelper)
+    in_dir, out_dir = _write_folder(tmp_path, [(80, 96)])
+    paths = sorted(str(p) for p in in_dir.iterdir())
+    args = _cli_args(in_dir, fused='on', detection='YOLOv5n')
+    with pytest.raises(RuntimeError, match='fused pipeline'):
+        wi.run_whole_images(args, paths, str(out_dir), _StubRestorer(),
+                            input_video=False)
+
+
 def test_folder_restores_all_faces_in_one_stream(tmp_path, monkeypatch):
     monkeypatch.setattr(wi, 'FaceRestoreHelper', _StubHelper)
     _StubHelper.instances = []
