@@ -265,6 +265,43 @@ class FaceDetector:
         self._jitted[key] = fn
         return fn
 
+    def batched_detect_device_start(self, frames_dev, det_hw,
+                                    conf_threshold: float = 0.8,
+                                    nms_threshold: float = 0.4):
+        """Dispatch the device detection graph WITHOUT syncing: returns
+        device arrays (outs, valids) as async futures. Pair with
+        batched_detect_device_finish — the split lets a pipelined caller
+        enqueue the next chunk's detection before blocking on this one
+        (the host round trip then overlaps device compute)."""
+        b, h, w = frames_dev.shape[:3]
+        fn = self._device_graph((h, w), tuple(det_hw), b, self.max_faces)
+        return fn(self.variables, frames_dev,
+                  jnp.float32(conf_threshold),
+                  jnp.float32(nms_threshold))
+
+    def batched_detect_device_finish(self, frames_dev, det_hw, pending,
+                                     conf_threshold: float = 0.8,
+                                     nms_threshold: float = 0.4):
+        """Sync a batched_detect_device_start dispatch, escalating to a
+        larger keep-bucket (synchronously — rare) if any frame's NMS
+        saturated. Returns host (B, max_faces, 15) + (B, max_faces)."""
+        b, h, w = frames_dev.shape[:3]
+        outs, valids = pending
+        valids = np.asarray(valids)
+        max_f = self.max_faces
+        while valids.all(axis=1).any() and max_f < self.MAX_FACES_CEILING:
+            max_f = min(max_f * 4, self.MAX_FACES_CEILING)
+            fn = self._device_graph((h, w), tuple(det_hw), b, max_f)
+            outs, valids = fn(self.variables, frames_dev,
+                              jnp.float32(conf_threshold),
+                              jnp.float32(nms_threshold))
+            valids = np.asarray(valids)
+        outs = np.array(outs)  # writable host copy
+        outs[~valids] = 0.0
+        bad = ~np.isfinite(outs).all(axis=2)
+        valids = valids & ~bad
+        return outs, valids
+
     def batched_detect_device(self, frames_dev, det_hw,
                               conf_threshold: float = 0.8,
                               nms_threshold: float = 0.4):
@@ -272,23 +309,10 @@ class FaceDetector:
         (B, H, W, 3), resized on device to det_hw before the backbone.
         Returns host arrays (B, max_faces, 15) in det_hw coordinates and
         a (B, max_faces) validity mask."""
-        b, h, w = frames_dev.shape[:3]
-        max_f = self.max_faces
-        while True:
-            fn = self._device_graph((h, w), tuple(det_hw), b, max_f)
-            outs, valids = fn(self.variables, frames_dev,
-                              jnp.float32(conf_threshold),
-                              jnp.float32(nms_threshold))
-            valids = np.asarray(valids)
-            if valids.all(axis=1).any() and max_f < self.MAX_FACES_CEILING:
-                max_f = min(max_f * 4, self.MAX_FACES_CEILING)
-                continue
-            break
-        outs = np.array(outs)  # writable host copy
-        outs[~valids] = 0.0
-        bad = ~np.isfinite(outs).all(axis=2)
-        valids = valids & ~bad
-        return outs, valids
+        pending = self.batched_detect_device_start(
+            frames_dev, det_hw, conf_threshold, nms_threshold)
+        return self.batched_detect_device_finish(
+            frames_dev, det_hw, pending, conf_threshold, nms_threshold)
 
 
 class YoloFaceDetector:

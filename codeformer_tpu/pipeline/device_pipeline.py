@@ -231,18 +231,33 @@ class DeviceRestorePipeline:
             out.append(landmarks)
         return out
 
-    def _restore_chunk_device(self, frames_dev, collect_faces=None):
+    def _det_hw(self, h: int, w: int):
+        det_scale = self.detect_resize / min(h, w)
+        return det_scale, (int(h * det_scale), int(w * det_scale))
+
+    def _detect_start(self, frames_dev):
+        """Dispatch (async) this chunk's detection graph."""
+        _, det_hw = self._det_hw(*frames_dev.shape[1:3])
+        return self.detector.batched_detect_device_start(
+            frames_dev, det_hw, conf_threshold=self.conf_threshold)
+
+    def _restore_chunk_device(self, frames_dev, pending_dets=None,
+                              collect_faces=None):
         """(C, H, W, 3) uint8 BGR device -> (C, H*up, W*up, 3) uint8 BGR
-        device. `collect_faces`: optional list; appends
+        device. `pending_dets`: a _detect_start dispatch for this chunk
+        (made earlier so the detection D2H overlaps device compute).
+        `collect_faces`: optional list; appends
         (cropped_rgb_u8 (M,face,face,3) device, restored_rgb_u8 device,
         faces-per-frame counts) for callers that save per-face outputs
         (the folder CLI)."""
         c, h, w = frames_dev.shape[:3]
-        det_scale = self.detect_resize / min(h, w)
-        det_hw = (int(h * det_scale), int(w * det_scale))
+        det_scale, det_hw = self._det_hw(h, w)
 
-        dets, valids = self.detector.batched_detect_device(
-            frames_dev, det_hw, conf_threshold=self.conf_threshold)
+        if pending_dets is None:
+            pending_dets = self._detect_start(frames_dev)
+        dets, valids = self.detector.batched_detect_device_finish(
+            frames_dev, det_hw, pending_dets,
+            conf_threshold=self.conf_threshold)
         per_frame = self._landmarks_from_dets(dets, valids, det_scale,
                                               (h, w))
 
@@ -320,7 +335,10 @@ class DeviceRestorePipeline:
         margin = w_edge + 8
         extent = max((max(y1 - y0, x1 - x0)
                       for y0, y1, x0, x1 in bboxes.values()), default=0)
-        roi = _round_up(int(extent) + 2 * margin + 2, 128)
+        # 32-granular windows: warp/filter cost scales with roi² and the
+        # filters only need 8-multiple (sublane) shapes; 128-rounding
+        # cost ~27% extra points on typical faces
+        roi = _round_up(int(extent) + 2 * margin + 2, 32)
         roi_pos = np.zeros((cf, 3), np.int32)
         if 0 < roi < min(hc, wc):
             for slot, (y0, _, x0, _) in bboxes.items():
@@ -346,15 +364,27 @@ class DeviceRestorePipeline:
         frames = jnp.asarray(frames)
         n = frames.shape[0]
         ck = min(self.frame_chunk, n)  # short inputs compile exact-size
-        outs = []
+        chunks, reals = [], []
         for i in range(0, n, ck):
             r = min(ck, n - i)  # real frames in this chunk
             chunk = frames[i:i + r]
             if r < ck:
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], ck - r, axis=0)])
+            chunks.append(chunk)
+            reals.append(r)
+        # software-pipelined: chunk k+1's detection is dispatched before
+        # chunk k's results are fetched, so the detection round trip and
+        # the host-side affine solves ride under device compute
+        outs = []
+        pending = self._detect_start(chunks[0])
+        for i, (chunk, r) in enumerate(zip(chunks, reals)):
+            nxt = self._detect_start(chunks[i + 1]) \
+                if i + 1 < len(chunks) else None
             outs.append(self._restore_chunk_device(
-                chunk, collect_faces=collect_faces)[:r])
+                chunk, pending_dets=pending,
+                collect_faces=collect_faces)[:r])
+            pending = nxt
         return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
     def restore_frames(self, frames: List[np.ndarray],

@@ -109,9 +109,10 @@ def main():
                 return fn(*fargs)
             return wrapped
 
-        def batched_detect_device(self, frames_dev, det_hw, **kw):
-            dets, valids = super().batched_detect_device(
-                frames_dev, det_hw, **kw)
+        def batched_detect_device_finish(self, frames_dev, det_hw,
+                                         pending, **kw):
+            dets, valids = super().batched_detect_device_finish(
+                frames_dev, det_hw, pending, **kw)
             det_scale = det_hw[0] / frames_dev.shape[1]
             valids[:] = False
             for k, lm_f in enumerate(synth_lms):

@@ -66,6 +66,7 @@ def test_codebook_lookup_matches_take():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vq_straight_through_gradient():
     """d(loss)/d(z) through the quantizer must equal the identity path
     (straight-through estimator)."""
@@ -84,6 +85,7 @@ def test_vq_straight_through_gradient():
     assert float(jnp.max(jnp.abs(enc_g))) > 0.0
 
 
+@pytest.mark.slow
 def test_vqae_roundtrip_shapes():
     v = VQAutoEncoder(img_size=64, nf=32, ch_mult=(1, 2, 4), codebook_size=32,
                       emb_dim=16)

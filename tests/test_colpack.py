@@ -231,6 +231,7 @@ def test_encoder_stage_interpret_parity(rng, interpret_mode):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_encoder_taps_survive_fusion(rng, interpret_mode):
     """Full-Encoder interpret-mode parity with fusion enabled, covering
     the tap-as-last-block-of-a-run case: a fused run may legally END on a

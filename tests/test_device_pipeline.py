@@ -70,6 +70,16 @@ class _InjectedDetector(FaceDetector):
         valids[:, 0] = True
         return dets, valids
 
+    # pipelined-dispatch surface (DeviceRestorePipeline calls these):
+    # start is a no-op; finish delegates to batched_detect_device so
+    # per-test monkeypatches of that method keep working
+    def batched_detect_device_start(self, frames_dev, det_hw, **kw):
+        return None
+
+    def batched_detect_device_finish(self, frames_dev, det_hw, pending,
+                                     **kw):
+        return self.batched_detect_device(frames_dev, det_hw, **kw)
+
 
 class _Helper:
     """Minimal FaceRestoreHelper stand-in (no weights)."""
@@ -124,6 +134,7 @@ def tiny_restorer():
     return r
 
 
+@pytest.mark.slow
 def test_device_pipeline_matches_classic_path(tiny_restorer):
     from codeformer_tpu.pipeline.device_pipeline import DeviceRestorePipeline
     from codeformer_tpu.pipeline.video import restore_video_frames
@@ -157,6 +168,7 @@ def test_device_pipeline_matches_classic_path(tiny_restorer):
         assert np.median(diff) <= 1.0
 
 
+@pytest.mark.slow
 def test_device_pipeline_no_faces(tiny_restorer):
     """Frames with zero detections must come back as the plain 2x
     upscale."""
@@ -198,7 +210,9 @@ def test_device_pipeline_fullcanvas_fallback(tiny_restorer):
         [[192.98138, 239.94708], [318.90277, 240.1936],
          [256.63416, 314.01935], [201.26117, 371.41043],
          [313.08905, 371.15118]], np.float32)
-    big_lm = (big - 256.0) * 0.95 + np.array([280.0, 260.0])
+    # large enough that roi (extent + margins, 32-granular) cannot fit
+    # the canvas -> full-canvas fallback
+    big_lm = (big - 256.0) * 1.08 + np.array([280.0, 260.0])
 
     class BigDet(_InjectedDetector):
         frame_hw = (520, 560)

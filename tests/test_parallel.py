@@ -31,6 +31,7 @@ def test_dryrun_multichip_8dev():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_train_step_dp_matches_single_device():
     """One data-parallel train step must produce the same params as the
     single-device step on the same global batch (the DP-correctness

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_batched_detect_faces_matches_single():
     from codeformer_tpu.pipeline.detector import FaceDetector
     det = FaceDetector('retinaface_mobile0.25', allow_random=True,

@@ -68,6 +68,7 @@ def _make_batches(loader, n):
     return [next(it) for _ in range(n)]
 
 
+@pytest.mark.slow
 def test_vqgan_stage1_trains(tmp_path, tiny_dataset):
     from codeformer_tpu.data import build_dataset
     from codeformer_tpu.data.loader import build_dataloader
@@ -142,6 +143,7 @@ def test_codeformer_stage2_trains(tmp_path, tiny_dataset):
     np.testing.assert_array_equal(before, after)
 
 
+@pytest.mark.slow
 def test_codeformer_stage3_joint_trains(tmp_path, tiny_dataset):
     from codeformer_tpu.data import build_dataset
     from codeformer_tpu.data.loader import build_dataloader
@@ -192,6 +194,7 @@ def test_vqgan_gumbel_trains(tmp_path, tiny_dataset):
     assert np.isfinite(model.log_dict['l_g_total'])
 
 
+@pytest.mark.slow
 def test_trainer_auto_data_parallel(tmp_path, tiny_dataset):
     """On a multi-device backend, trainers shard the batch automatically
     and produce the same result as a single-device run."""
