@@ -55,12 +55,23 @@ def _unpack(m: jax.Array) -> jax.Array:
     return jnp.transpose(m[0], (2, 0, 1))[..., None]
 
 
+def _colormap_lookup(parse_ids: jax.Array) -> jax.Array:
+    """MASK_COLORMAP[parse_ids] without a gather: the 19-entry map is
+    0/255-valued, so a few integer compares replace a 4M-point gather
+    (~34 ms -> ~free on TPU, scripts/bench_composite_pieces.py)."""
+    zero_ids = np.where(np.asarray(MASK_COLORMAP) == 0)[0]
+    is_zero = functools.reduce(
+        lambda acc, i: acc | (parse_ids == int(i)), zero_ids,
+        jnp.zeros(parse_ids.shape, bool))
+    return jnp.where(is_zero, 0.0, 255.0)
+
+
 def _shape_parse_masks(parse_ids: jax.Array, face_size: int, n: int
                        ) -> jax.Array:
     """parse ids (N,512,512) int32 -> soft parse masks (N,face,face,1)
     in [0,1] (the reference's colormap + double 101-blur + edge zeroing,
     face_restoration_helper.py:458-476), channel-packed for VPU width."""
-    pm = _pack(MASK_COLORMAP[parse_ids][..., None])  # (1,512,512,N)
+    pm = _pack(_colormap_lookup(parse_ids)[..., None])  # (1,512,512,N)
     pm = gaussian_blur(pm, 101, 11)
     pm = gaussian_blur(pm, 101, 11)
     thres = 10

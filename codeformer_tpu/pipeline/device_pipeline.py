@@ -81,49 +81,52 @@ class DeviceRestorePipeline:
     # ------------------------------------------------------------------
     # device graphs (one compile per static config, persistently cached)
     # ------------------------------------------------------------------
+    def _warp_body(self, in_hw: Tuple[int, int], m: int, face: int):
+        border = jnp.asarray(_BORDER_BGR[::-1], jnp.float32)  # RGB
+
+        def run(frames, frame_idx, affines):
+            # frames (C,H,W,3) uint8 BGR; frame_idx (M,); affines
+            # (M,2,3) frame->template. Returns (M,face,face,3) uint8
+            # RGB crops (the restorer's input layout). Frames stay
+            # uint8 through the warp gather (bytes move, math is f32
+            # — exact and ~2x faster, ops/geometry._bilinear_sample).
+            sel = frames[frame_idx][..., ::-1]
+            faces = warp_affine(sel, affines, (face, face),
+                                border_value=border)
+            return jnp.clip(jnp.round(faces), 0, 255).astype(jnp.uint8)
+
+        return run
+
     def _warp_graph(self, in_hw: Tuple[int, int], m: int, face: int):
         key = ('warp', in_hw, m, face)
         if key not in self._graphs:
-            border = jnp.asarray(_BORDER_BGR[::-1], jnp.float32)  # RGB
-
-            def run(frames, frame_idx, affines):
-                # frames (C,H,W,3) uint8 BGR; frame_idx (M,); affines
-                # (M,2,3) frame->template. Returns (M,face,face,3) uint8
-                # RGB crops (the restorer's input layout). Frames stay
-                # uint8 through the warp gather (bytes move, math is f32
-                # — exact and ~2x faster, ops/geometry._bilinear_sample).
-                sel = frames[frame_idx][..., ::-1]
-                faces = warp_affine(sel, affines, (face, face),
-                                    border_value=border)
-                return jnp.clip(jnp.round(faces), 0, 255).astype(jnp.uint8)
-
-            self._graphs[key] = jax.jit(run)
+            self._graphs[key] = jax.jit(self._warp_body(in_hw, m, face))
         return self._graphs[key]
+
+    def _parse_body(self, m: int):
+        model = self.helper._parse_model
+
+        def run(variables, faces_rgb_u8):
+            x = faces_rgb_u8.astype(jnp.float32) / 127.5 - 1.0
+            mask, _ = model.apply(variables, x)
+            return jnp.argmax(mask, axis=-1).astype(jnp.int32)
+
+        return run
 
     def _parse_graph(self, m: int):
         key = ('parse', m)
         if key not in self._graphs:
-            model = self.helper._parse_model
-
-            def run(variables, faces_rgb_u8):
-                x = faces_rgb_u8.astype(jnp.float32) / 127.5 - 1.0
-                mask, _ = model.apply(variables, x)
-                return jnp.argmax(mask, axis=-1).astype(jnp.int32)
-
-            self._graphs[key] = jax.jit(run)
+            self._graphs[key] = jax.jit(self._parse_body(m))
         return self._graphs[key]
 
-    def _composite_graph(self, in_hw: Tuple[int, int], c: int, f: int,
-                         face: int, w_edge: int, use_parse: bool,
-                         roi: int = 0):
+    def _composite_body(self, in_hw: Tuple[int, int], c: int, f: int,
+                        face: int, w_edge: int, use_parse: bool,
+                        roi: int = 0):
         """roi > 0: each face warps/filters into a (roi, roi) window and
         blends back with dynamic slices — gather points scale with the
         FACE extent instead of the canvas (the warp is the composite's
         dominant cost). roi == 0: full-canvas path (fallback for faces
         whose window would not fit the canvas)."""
-        key = ('comp', in_hw, c, f, face, w_edge, use_parse, roi)
-        if key in self._graphs:
-            return self._graphs[key]
         h, w = in_hw
         up = self.upscale
         h_up, w_up = h * up, w * up
@@ -197,6 +200,48 @@ class DeviceRestorePipeline:
                 out = jax.lax.fori_loop(0, f, body, canv)
             out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
             return out[:, :h_up, :w_up]
+
+        return run
+
+    def _composite_graph(self, in_hw: Tuple[int, int], c: int, f: int,
+                         face: int, w_edge: int, use_parse: bool,
+                         roi: int = 0):
+        key = ('comp', in_hw, c, f, face, w_edge, use_parse, roi)
+        if key not in self._graphs:
+            self._graphs[key] = jax.jit(self._composite_body(
+                in_hw, c, f, face, w_edge, use_parse, roi))
+        return self._graphs[key]
+
+    def _merged_graph(self, in_hw: Tuple[int, int], c: int, m: int,
+                      fpf: int, face: int, w_edge: int, use_parse: bool,
+                      roi: int):
+        """ONE jit for warp -> restore -> parse -> composite. The
+        per-call dispatch cost (a ~23 ms round trip on the axon tunnel;
+        queue/launch overhead on real hosts) is paid once per chunk
+        instead of four times, and XLA fuses across the old stage
+        boundaries. Detection stays separate — its results feed the
+        host-side affine solves between the two calls."""
+        key = ('merged', in_hw, c, m, fpf, face, w_edge, use_parse, roi)
+        if key in self._graphs:
+            return self._graphs[key]
+        warp_run = self._warp_body(in_hw, m, face)
+        parse_run = self._parse_body(m) if use_parse else None
+        comp_run = self._composite_body(in_hw, c, fpf, face, w_edge,
+                                        use_parse, roi)
+        fwd_core = self.restorer.fwd_core
+        enable_fuse = self.w > 0
+
+        def run(frames, frame_idx, affines, rvars, w, pvars, face_map,
+                inv_affines, roi_pos):
+            faces_rgb = warp_run(frames, frame_idx, affines)
+            restored = fwd_core(rvars, faces_rgb, w, True, enable_fuse)
+            if use_parse:
+                pids = parse_run(pvars, restored)
+            else:
+                pids = jnp.zeros((m, face, face), jnp.int32)
+            out = comp_run(frames, restored, face_map, inv_affines,
+                           roi_pos, pids)
+            return out, faces_rgb, restored
 
         fn = jax.jit(run)
         self._graphs[key] = fn
@@ -294,16 +339,6 @@ class DeviceRestorePipeline:
             idx_pad[j] = fi
             a_pad[j] = a
 
-        # aligned crops + restore + parse, all device-resident
-        warp = self._warp_graph((h, w), m, face)
-        faces_rgb = warp(frames_dev, jnp.asarray(idx_pad),
-                         jnp.asarray(a_pad))
-        restored = self.restorer.restore_device(faces_rgb, w=self.w)
-        if self.use_parse:
-            pids = self._parse_graph(m)(self.helper._parse_vars, restored)
-        else:
-            pids = jnp.zeros((m, 512, 512), jnp.int32)
-
         # composite inputs: (C*F) slots, dummies parked off-window
         cf = c * fpf
         map_pad = np.zeros((cf,), np.int32)
@@ -349,10 +384,14 @@ class DeviceRestorePipeline:
         else:
             roi = 0  # face ~ canvas: full-canvas path
 
-        comp = self._composite_graph((h, w), c, fpf, face, w_edge,
-                                     self.use_parse, roi)
-        out = comp(frames_dev, restored, jnp.asarray(map_pad),
-                   jnp.asarray(ia_pad), jnp.asarray(roi_pos), pids)
+        merged = self._merged_graph((h, w), c, m, fpf, face, w_edge,
+                                    self.use_parse, roi)
+        pvars = self.helper._parse_vars if self.use_parse else {}
+        out, faces_rgb, restored = merged(
+            frames_dev, jnp.asarray(idx_pad), jnp.asarray(a_pad),
+            self.restorer.variables, jnp.float32(self.w), pvars,
+            jnp.asarray(map_pad), jnp.asarray(ia_pad),
+            jnp.asarray(roi_pos))
         if collect_faces is not None:
             collect_faces.append((faces_rgb, restored,
                                   [len(ids) for ids in face_map]))

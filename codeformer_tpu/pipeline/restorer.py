@@ -77,6 +77,10 @@ class CodeFormerRestorer:
             out = jnp.clip(out.astype(jnp.float32), -1.0, 1.0)
             return jnp.round((out + 1.0) * 127.5).astype(jnp.uint8)
 
+        # unjitted core: the fused device pipeline traces this inside its
+        # merged per-chunk graph (pipeline/device_pipeline.py)
+        self.fwd_core = _fwd
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._fwd = jax.jit(

@@ -47,7 +47,7 @@ def main():
                                                         _unpack)
 
     rng = np.random.default_rng(0)
-    m, roi = 16, 768
+    m, roi = 16, 672
     pids = jnp.asarray(rng.integers(0, 19, (m, 512, 512)), jnp.int32)
     run('parse-mask shaping (2x 101-blur @512²)',
         lambda p: _shape_parse_masks(p, 512, m), (pids,))

@@ -138,20 +138,13 @@ def main():
             _parse_model, jnp.zeros((1, 512, 512, 3))))
 
     class RecPipeline(DeviceRestorePipeline):
-        def _wrap(self, key, fn):
+        def _merged_graph(self, *a):
+            fn = super()._merged_graph(*a)
+
             def wrapped(*fargs):
-                rec[key] = (fn, fargs)
+                rec['merged'] = (fn, fargs, a)
                 return fn(*fargs)
             return wrapped
-
-        def _warp_graph(self, *a):
-            return self._wrap('warp', super()._warp_graph(*a))
-
-        def _parse_graph(self, *a):
-            return self._wrap('parse', super()._parse_graph(*a))
-
-        def _composite_graph(self, *a, **kw):
-            return self._wrap('comp', super()._composite_graph(*a, **kw))
 
     restorer = CodeFormerRestorer(batch_buckets=(chunk, 2 * chunk,
                                                  4 * chunk))
@@ -182,22 +175,30 @@ def main():
     total = 0.0
     fn, fa = rec['detect']
     total += time_stage('detect resnet50 bf16', fn, fa, skip=(0,))
-    fn, fa = rec['warp']
-    total += time_stage('align warp', fn, fa)
-    rest_fn = restorer._fwd
-    faces_rgb = fn(*fa)
 
-    def restore_fn(variables, x, wv):
-        return rest_fn(variables, x, wv, True, True)
+    mfn, margs, mkey = rec['merged']
+    in_hw, c, m, fpf, face, w_edge, use_parse, roi = mkey
+    (fr, idx, a_pad, rvars, wv, pvars, map_pad, ia_pad, roi_pos) = margs
+    warp_fn = pipe._warp_graph(in_hw, m, face)
+    total += time_stage('align warp', warp_fn, (fr, idx, a_pad))
+    faces_rgb = warp_fn(fr, idx, a_pad)
+    rest_fn = restorer._fwd
+
+    def restore_fn(variables, x, w_in):
+        return rest_fn(variables, x, w_in, True, True)
     total += time_stage('restore B=%d' % faces_rgb.shape[0], restore_fn,
-                        (restorer.variables, faces_rgb,
-                         jnp.float32(0.5)), skip=(0,))
-    fn, fa = rec['parse']
-    total += time_stage('parse', fn, fa, skip=(0,))
-    fn, fa = rec['comp']
-    total += time_stage('composite', fn, fa)
+                        (rvars, faces_rgb, wv), skip=(0,))
+    parse_fn = pipe._parse_graph(m)
+    total += time_stage('parse', parse_fn, (pvars, faces_rgb), skip=(0,))
+    pids = parse_fn(pvars, faces_rgb)
+    comp_fn = pipe._composite_graph(in_hw, c, fpf, face, w_edge,
+                                    use_parse, roi)
+    total += time_stage('composite', comp_fn,
+                        (fr, faces_rgb, map_pad, ia_pad, roi_pos, pids))
     print(f'{"sum of stages":34s} {total * 1000:8.2f} ms/chunk '
           f'({total * 1000 / 16:6.2f} ms/frame)', flush=True)
+    time_stage('merged chunk graph (one dispatch)', mfn, margs,
+               skip=(3, 5))
 
     # --- detection alternatives -------------------------------------
     det2 = FaceDetector('retinaface_mobile0.25', allow_random=True,

@@ -238,7 +238,7 @@ def test_device_pipeline_fullcanvas_fallback(tiny_restorer):
     fused = pipe.restore_frames(frames)
 
     # the fallback graph (roi=0) must have been selected
-    assert any(k[0] == 'comp' and k[-1] == 0 for k in pipe._graphs)
+    assert any(k[0] == 'merged' and k[-1] == 0 for k in pipe._graphs)
     diff = np.abs(classic[0].astype(np.float32)
                   - fused[0].astype(np.float32))
     assert diff.mean() < 3.0, diff.mean()

@@ -127,6 +127,32 @@ def test_fused_auto_routes_uniform_folder(tmp_path, monkeypatch):
         [f'{i:02d}_00.png' for i in range(3)]
 
 
+def test_fused_auto_routes_video(tmp_path, monkeypatch):
+    """auto + video input -> fused pipeline, frames written + video
+    muxed."""
+    import codeformer_tpu.pipeline.device_pipeline as dp_mod
+    monkeypatch.setattr(wi, 'FaceRestoreHelper', _StubHelper)
+    monkeypatch.setattr(dp_mod, 'DeviceRestorePipeline',
+                        _StubDevicePipeline)
+    _StubDevicePipeline.calls = []
+    out_dir = tmp_path / 'out'
+    for sub in ('cropped_faces', 'restored_faces', 'final_results'):
+        (out_dir / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+              for _ in range(4)]
+    args = _cli_args(tmp_path / 'clip.mp4')
+    restorer = _StubRestorer()
+    wi.run_whole_images(args, frames, str(out_dir), restorer,
+                        input_video=True,
+                        video_meta={'fps': 24.0, 'audio': None})
+    assert _StubDevicePipeline.calls == [4]
+    assert restorer.calls == []
+    finals = sorted(os.listdir(out_dir / 'final_results'))
+    assert finals == [f'{i:06d}.png' for i in range(4)]
+    assert (out_dir / 'clip.mp4').exists()
+
+
 def test_fused_auto_falls_back_on_mixed_sizes(tmp_path, monkeypatch):
     import codeformer_tpu.pipeline.device_pipeline as dp_mod
     monkeypatch.setattr(wi, 'FaceRestoreHelper', _StubHelper)
