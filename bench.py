@@ -24,10 +24,14 @@ import time
 A100_REF_FACES_PER_SEC = 12.0
 
 
-def bench_aligned(n_batches=(1, 16, 32, 64, 96)):
-    # 96 is the largest bucket that compiles on one v5e (128 OOMs the
-    # compiler); it clears batch-64 by ~16%. The loop breaks at the
-    # first failing bucket, keeping earlier results.
+def bench_aligned(n_batches=(1, 16, 32, 64, 104)):
+    # 104 is the largest bucket that fits one v5e: the forward's live
+    # 512^2 activations are ~144MB/face, so B=128 needs 18.02G vs 16G
+    # HBM and B=112 lands at 16.02G with weights — both genuine OOM,
+    # not compiler flakiness (scripts/diag_b128.py; buffer donation
+    # doesn't help since the inputs are a fraction of the activations).
+    # The loop breaks at the first failing bucket, keeping earlier
+    # results.
     """Aligned 512x512 faces/sec through the bare CodeFormer graph."""
     import os
     import jax

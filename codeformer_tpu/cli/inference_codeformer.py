@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
                         'folder images), else fall back to the classic '
                         'per-stage path. on: require it (error if '
                         'ineligible). off: always classic.')
+    p.add_argument('--quant', type=str, default=None,
+                   choices=['int8'],
+                   help='Quantized serving path for the restorer convs '
+                        '(int8 on the MXU, ~1.5x conv speedup; slight '
+                        'quality delta — see tests/test_int8.py). '
+                        'Default: bf16.')
     p.add_argument('--profile', action='store_true',
                    help='Print per-stage timings at the end (use '
                         'CODEFORMER_TPU_TRACE=<dir> for a device trace).')
@@ -133,7 +139,7 @@ def main(argv=None):
     restorer = CodeFormerRestorer(
         checkpoint=ckpt, dim_embd=512, codebook_size=1024, n_head=8,
         n_layers=9, connect_list=('32', '64', '128', '256'),
-        batch_buckets=(1, 2, 4, args.batch))
+        batch_buckets=(1, 2, 4, args.batch), quant=args.quant)
 
     import contextlib
     trace_dir = os.environ.get('CODEFORMER_TPU_TRACE')

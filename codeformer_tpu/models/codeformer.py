@@ -124,3 +124,47 @@ class CodeFormer(VQAutoEncoder):
                     lambda dec, fuse=fuse, enc=enc: fuse(enc, dec, w))
         out = self.generator(quant_feat, fuse_fns=fuse_fns)
         return out, logits, lq_feat
+
+
+def position_embedding_sine(shape_bhw: Tuple[int, int, int],
+                            num_pos_feats: int = 64,
+                            temperature: float = 10000.0,
+                            normalize: bool = False,
+                            scale: float | None = None,
+                            mask: jax.Array | None = None) -> jax.Array:
+    """Sine/cosine 2-D position embedding, NHWC.
+
+    Behavioral spec: reference codeformer_arch.py:46-86
+    (PositionEmbeddingSine). The reference defines it but never calls it
+    (CodeFormer uses a learned `position_emb`); it is provided for
+    completeness/parity as a pure function — stateless code has no
+    business being an nn.Module on TPU. Returns (B, H, W, 2*num_pos_feats)
+    with the channel order [pos_y || pos_x] matching the reference's
+    channel-first concat.
+    """
+    if scale is not None and not normalize:
+        raise ValueError('normalize should be True if scale is passed')
+    if scale is None:
+        scale = 2 * jnp.pi
+    b, h, w = shape_bhw
+    if mask is None:
+        not_mask = jnp.ones((b, h, w), jnp.float32)
+    else:
+        not_mask = 1.0 - mask.astype(jnp.float32)
+    y_embed = jnp.cumsum(not_mask, axis=1)
+    x_embed = jnp.cumsum(not_mask, axis=2)
+    if normalize:
+        eps = 1e-6
+        y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+        x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+
+    def interleave_sin_cos(e):
+        p = e[..., None] / dim_t
+        return jnp.stack((jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])),
+                         axis=-1).reshape(b, h, w, num_pos_feats)
+
+    return jnp.concatenate([interleave_sin_cos(y_embed),
+                            interleave_sin_cos(x_embed)], axis=-1)

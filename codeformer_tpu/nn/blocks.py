@@ -41,6 +41,7 @@ class FastConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from codeformer_tpu.nn import quant
         from codeformer_tpu.ops.s2d_conv import (conv3x3_phase_packed,
                                                  use_phase_packing)
         cin = x.shape[-1]
@@ -50,7 +51,9 @@ class FastConv3x3(nn.Module):
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
         _, h, w, _ = x.shape
-        if self.enable_phase_packing and use_phase_packing(
+        if quant.quant_active(self):
+            y = quant.conv_int8(x, kernel)
+        elif self.enable_phase_packing and use_phase_packing(
                 h, w, self.features, self.min_pixels):
             y = conv3x3_phase_packed(x, kernel)
         else:
@@ -396,11 +399,40 @@ class Downsample(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.conv = nn.Conv(self.in_channels, (3, 3), strides=(2, 2),
-                            padding=((0, 1), (0, 1)), dtype=self.dtype)
+        self.conv = _QuantizableConv(self.in_channels, strides=(2, 2),
+                                     padding=((0, 1), (0, 1)),
+                                     dtype=self.dtype)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.conv(x)
+
+
+class _QuantizableConv(nn.Module):
+    """3x3 conv with nn.Conv-compatible params ('kernel' HWIO + 'bias')
+    that dispatches to the int8 serving path when quant mode is on."""
+    features: int
+    strides: tuple = (1, 1)
+    padding: Any = 'SAME'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from codeformer_tpu.nn import quant
+        cin = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if quant.quant_active(self):
+            y = quant.conv_int8(x, kernel, self.strides, self.padding)
+        else:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ('NHWC', 'HWIO', 'NHWC'))
+            y = jax.lax.conv_general_dilated(
+                x, kernel, self.strides, self.padding,
+                dimension_numbers=dn)
+        return y + bias.astype(self.dtype)
 
 
 class Upsample(nn.Module):
@@ -437,12 +469,16 @@ class _PhaseCollapsedUpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from codeformer_tpu.nn import quant
         b, h, w, cin = x.shape
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
+        use_q = quant.quant_active(self)
+        if use_q:
+            xq, sx = quant.quantize_act(x)
 
         outs = []
         for p in (0, 1):
@@ -454,6 +490,10 @@ class _PhaseCollapsedUpConv(nn.Module):
                     for v in range(3):
                         k2 = k2.at[rmap[u], cmap[v]].add(kernel[u, v])
                 pad = ((1 - p, p), (1 - q, q))
+                if use_q:
+                    outs.append(quant.conv_int8_prequant(
+                        xq, sx, k2, (1, 1), pad, out_dtype=self.dtype))
+                    continue
                 dn = jax.lax.conv_dimension_numbers(
                     x.shape, k2.shape, ('NHWC', 'HWIO', 'NHWC'))
                 outs.append(jax.lax.conv_general_dilated(

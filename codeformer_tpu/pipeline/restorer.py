@@ -18,6 +18,7 @@ import numpy as np
 
 from codeformer_tpu.models import CodeFormer
 from codeformer_tpu.nn.blocks import set_colpack_mode
+from codeformer_tpu.nn.quant import set_quant_mode
 from codeformer_tpu.utils.checkpoint import init_params_fast, load_checkpoint
 from codeformer_tpu.utils.misc import setup_jax
 
@@ -36,7 +37,8 @@ class CodeFormerRestorer:
                  connect_list: Sequence[str] = ('32', '64', '128', '256'),
                  dtype=jnp.bfloat16, face_size: int = 512,
                  batch_buckets: Sequence[int] = (1, 2, 4, 8, 16),
-                 rng_seed: int = 0, mesh=None, model=None):
+                 rng_seed: int = 0, mesh=None, model=None,
+                 quant: Optional[str] = None):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — the
         face batch is sharded across it (multi-chip serving); buckets are
         rounded up to multiples of the data-axis size.
@@ -49,6 +51,11 @@ class CodeFormerRestorer:
             # parity-to-slightly-slower vs XLA's fused lowering on v5e
             # (docs/roofline.md "colpack enclaves"), so off by default.
             set_colpack_mode(os.environ['CODEFORMER_COLPACK'])
+        if quant is not None:
+            # int8 serving path (nn/quant.py): s8xs8->s32 convs on the
+            # MXU, dynamic per-tensor act scales. Opt-in, quality-gated
+            # by tests/test_int8.py; default bf16.
+            set_quant_mode(quant)
         self.face_size = face_size
         self.mesh = mesh
         if mesh is not None:

@@ -80,10 +80,13 @@ def train_pipeline(root_path: str, args=None):
     import jax
 
     setup_jax()
-    # the colpack Pallas kernels are forward-only (no VJP); a stray
-    # CODEFORMER_COLPACK=auto in the env must never reach jax.grad
+    # the colpack Pallas kernels are forward-only (no VJP) and the int8
+    # quantize round has zero gradient; a stray CODEFORMER_COLPACK/
+    # CODEFORMER_QUANT in the env must never reach jax.grad
     from codeformer_tpu.nn.blocks import set_colpack_mode
+    from codeformer_tpu.nn.quant import set_quant_mode
     set_colpack_mode('off')
+    set_quant_mode('off')
     opt = parse_options(root_path, args)
     seed = opt.get('manual_seed', 0) or 0
     set_random_seed(seed + jax.process_index())

@@ -91,5 +91,92 @@ def main():
         (ai, bi), flops)
 
 
+def main_model(batch=16, n_iter=12, reps=3):
+    """In-model interleaved A/B: full CodeFormer forward, bf16 vs the
+    int8 serving path (nn/quant.py), same process, alternating timed
+    chains — the only comparison the axon tunnel can't distort."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from codeformer_tpu.models import CodeFormer
+    from codeformer_tpu.nn.quant import set_quant_mode
+    from codeformer_tpu.utils.checkpoint import init_params_fast
+
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+    model = CodeFormer(dtype=jnp.bfloat16)
+    variables = jax.device_put(init_params_fast(
+        model, jnp.zeros((1, 512, 512, 3), jnp.bfloat16), 0.5))
+    x = jax.random.uniform(jax.random.PRNGKey(0),
+                           (batch, 512, 512, 3), jnp.bfloat16, -1.0, 1.0)
+
+    def fwd_bf16(variables, x, w):
+        out, _, _ = model.apply(variables, x, w, adain=True)
+        return jnp.sum(out.astype(jnp.float32))
+
+    def fwd_int8(variables, x, w):
+        out, _, _ = model.apply(variables, x, w, adain=True)
+        return jnp.sum(out.astype(jnp.float32))
+
+    def fwd_int8_static(variables, x, w):
+        out, _, _ = model.apply(variables, x, w, adain=True)
+        return jnp.sum(out.astype(jnp.float32))
+
+    # quant mode is read at TRACE time: trace each variant under its
+    # mode, then interleave the compiled executables
+    fns = {}
+    set_quant_mode('int8')
+    fns['int8'] = jax.jit(fwd_int8)
+    float(fns['int8'](variables, x, 0.5))  # trace+compile under int8
+    # static-scale hypothesis probe: is the dynamic abs-max pass over
+    # the 512^2 activations (full extra HBM read per conv, plus a
+    # serialization point) what eats the MXU int8 gain? Trace a variant
+    # whose act scale is a compile-time constant (numerics intentionally
+    # uncalibrated — this measures speed, not quality).
+    from codeformer_tpu.nn import quant as _q
+    _orig_qact = _q.quantize_act
+
+    def _static_qact(xx):
+        s = jnp.float32(0.05)
+        xq = jnp.clip(jnp.round(xx.astype(jnp.float32) / s), -127, 127)
+        return xq.astype(jnp.int8), s
+
+    _q.quantize_act = _static_qact
+    try:
+        fns['int8-static'] = jax.jit(fwd_int8_static)
+        float(fns['int8-static'](variables, x, 0.5))
+    finally:
+        _q.quantize_act = _orig_qact
+    set_quant_mode('off')
+    fns['bf16'] = jax.jit(fwd_bf16)
+    float(fns['bf16'](variables, x, 0.5))
+
+    def chain(fn):
+        s = fn(variables, x, 0.5)
+        for _ in range(n_iter - 1):
+            s = fn(variables, x, 0.5 + 0.0 * s)
+        float(s)  # drain the warm chain BEFORE starting the clock
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            s = fn(variables, x, 0.5 + 0.0 * s)
+        float(s)
+        return time.perf_counter() - t0
+
+    names = ('bf16', 'int8', 'int8-static')
+    for name in names:  # untimed warm chains
+        chain(fns[name])
+    times = {name: [] for name in names}
+    for _ in range(reps):
+        for name in names:
+            times[name].append(chain(fns[name]))
+    for name in names:
+        per = min(times[name]) / n_iter
+        print(f'CodeFormer fwd B={batch} {name:11s}: {per * 1000:7.2f} ms '
+              f'({batch / per:6.1f} faces/s)', flush=True)
+
+
 if __name__ == '__main__':
-    main()
+    if '--model' in sys.argv:
+        main_model()
+    else:
+        main()

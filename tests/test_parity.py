@@ -160,3 +160,27 @@ def test_converter_tree_structure_matches_init():
     mismatched = [k for k in init_paths
                   if conv_paths[k] != init_paths[k]]
     assert not mismatched, mismatched[:5]
+
+
+def test_position_embedding_sine_parity(rng):
+    """position_embedding_sine vs reference PositionEmbeddingSine
+    (codeformer_arch.py:46-86; defined-but-unused there, provided for
+    completeness). NHWC here vs NCHW there."""
+    from codeformer_tpu.models.codeformer import position_embedding_sine
+
+    x = torch.zeros(2, 8, 6, 10)  # (B, C, H, W) — only shape is used
+    mask_np = (rng.uniform(size=(2, 6, 10)) < 0.3)
+    for normalize, scale, mask in ((False, None, None),
+                                   (True, None, None),
+                                   (True, 6.28, None),
+                                   (True, None, mask_np)):
+        t = cf_ref.PositionEmbeddingSine(num_pos_feats=16,
+                                         normalize=normalize, scale=scale)
+        with torch.no_grad():
+            ref = t(x, None if mask is None else torch.from_numpy(mask))
+        got = position_embedding_sine(
+            (2, 6, 10), num_pos_feats=16, normalize=normalize,
+            scale=scale,
+            mask=None if mask is None else jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(got), _nhwc(ref),
+                                   rtol=1e-5, atol=1e-5)
