@@ -61,34 +61,77 @@ def gaussian_blur(img: jax.Array, ksize: int,
     return x.astype(img.dtype)
 
 
+# Below this window width the O(k) reduce_window is cheaper than the
+# two block scans of the van Herk formulation (scan setup ~= 8 passes).
+_VAN_HERK_MIN_K = 16
+
+
+def _sliding_min_1d(m: jax.Array, ksize: int, axis: int) -> jax.Array:
+    """Exact 1D sliding-window minimum in O(log k) ops/px (van Herk /
+    Gil-Werman): pad to k-aligned blocks, take prefix- and suffix-min
+    scans within each block, and combine two static slices. cv2-style
+    centered window [i - k//2, i + (k-1-k//2)]. reduce_window costs
+    O(k)/px compares on the VPU — at the compositor's 128-wide erosions
+    this is the difference between ~256 and ~20 ops per pixel."""
+    n = m.shape[axis]
+    p0 = ksize // 2
+    nblk = -(-(n + ksize - 1) // ksize)
+    total = nblk * ksize
+    pad = [(0, 0)] * m.ndim
+    pad[axis] = (p0, total - n - p0)
+    x = jnp.pad(m, pad, constant_values=jnp.inf)
+    shp = list(x.shape)
+    shp[axis:axis + 1] = [nblk, ksize]
+    xb = x.reshape(shp)
+    pre = jax.lax.associative_scan(jnp.minimum, xb, axis=axis + 1)
+    suf = jax.lax.associative_scan(jnp.minimum, xb, axis=axis + 1,
+                                   reverse=True)
+    pre = pre.reshape(x.shape)
+    suf = suf.reshape(x.shape)
+    # window for output i is padded [i, i+k-1]; it spans <= 2 blocks:
+    # suffix-min covers [i, end-of-block], prefix-min [next-block, i+k-1]
+    return jnp.minimum(
+        jax.lax.slice_in_dim(suf, 0, n, axis=axis),
+        jax.lax.slice_in_dim(pre, ksize - 1, ksize - 1 + n, axis=axis))
+
+
 def erode(mask: jax.Array, ksize: int) -> jax.Array:
     """Morphological erosion with a ksize x ksize all-ones structuring
     element (cv2.erode semantics): min-pool. NHWC float.
 
     A rectangular structuring element is separable: two 1D min-pools
-    (O(2k)/px) replace the naive 2D window (O(k^2)/px) — at the
-    compositor's 128-wide erosions that's a ~64x FLOP cut."""
+    (O(2k)/px) replace the naive 2D window (O(k^2)/px); wide windows
+    further drop to O(log k)/px via the exact van Herk sliding min."""
     orig_dtype = mask.dtype
     m = mask.astype(jnp.float32)
-    p0, p1 = ksize // 2, ksize - 1 - ksize // 2
-    m = -jax.lax.reduce_window(
-        -m, -jnp.inf, jax.lax.max, (1, ksize, 1, 1), (1, 1, 1, 1),
-        [(0, 0), (p0, p1), (0, 0), (0, 0)])
-    m = -jax.lax.reduce_window(
-        -m, -jnp.inf, jax.lax.max, (1, 1, ksize, 1), (1, 1, 1, 1),
-        [(0, 0), (0, 0), (p0, p1), (0, 0)])
+    if ksize >= _VAN_HERK_MIN_K:
+        m = _sliding_min_1d(m, ksize, axis=1)
+        m = _sliding_min_1d(m, ksize, axis=2)
+    else:
+        p0, p1 = ksize // 2, ksize - 1 - ksize // 2
+        m = -jax.lax.reduce_window(
+            -m, -jnp.inf, jax.lax.max, (1, ksize, 1, 1), (1, 1, 1, 1),
+            [(0, 0), (p0, p1), (0, 0), (0, 0)])
+        m = -jax.lax.reduce_window(
+            -m, -jnp.inf, jax.lax.max, (1, 1, ksize, 1), (1, 1, 1, 1),
+            [(0, 0), (0, 0), (p0, p1), (0, 0)])
     return m.astype(orig_dtype)
 
 
 def dilate(mask: jax.Array, ksize: int) -> jax.Array:
-    """Morphological dilation (max-pool, separable). NHWC float."""
+    """Morphological dilation (max-pool, separable; exact van Herk
+    sliding max for wide windows). NHWC float."""
     orig_dtype = mask.dtype
     m = mask.astype(jnp.float32)
-    p0, p1 = ksize // 2, ksize - 1 - ksize // 2
-    m = jax.lax.reduce_window(
-        m, -jnp.inf, jax.lax.max, (1, ksize, 1, 1), (1, 1, 1, 1),
-        [(0, 0), (p0, p1), (0, 0), (0, 0)])
-    m = jax.lax.reduce_window(
-        m, -jnp.inf, jax.lax.max, (1, 1, ksize, 1), (1, 1, 1, 1),
-        [(0, 0), (0, 0), (p0, p1), (0, 0)])
+    if ksize >= _VAN_HERK_MIN_K:
+        m = -_sliding_min_1d(-m, ksize, axis=1)
+        m = -_sliding_min_1d(-m, ksize, axis=2)
+    else:
+        p0, p1 = ksize // 2, ksize - 1 - ksize // 2
+        m = jax.lax.reduce_window(
+            m, -jnp.inf, jax.lax.max, (1, ksize, 1, 1), (1, 1, 1, 1),
+            [(0, 0), (p0, p1), (0, 0), (0, 0)])
+        m = jax.lax.reduce_window(
+            m, -jnp.inf, jax.lax.max, (1, 1, ksize, 1), (1, 1, 1, 1),
+            [(0, 0), (0, 0), (p0, p1), (0, 0)])
     return m.astype(orig_dtype)

@@ -367,7 +367,15 @@ class DeviceRestorePipeline:
         # canvases when every face (+ soft-edge margin) fits one
         hc, wc = _round_up(h * self.upscale, 128), \
             _round_up(w * self.upscale, 128)
-        margin = w_edge + 8
+        # The soft edge cannot spill past the warped face's coverage:
+        # erode(cov, 2*w_edge) pulls the boundary in by w_edge and the
+        # (2*w_edge+1)-tap blur pushes it back out by exactly w_edge
+        # (finite kernel -> strict zeros beyond), so outside the face
+        # bbox (+1px even-kernel asymmetry +1px rounding) the blend
+        # returns the background bit-exactly. A fixed 8px margin
+        # therefore loses nothing, while w_edge-sized margins (up to
+        # 72px/side) would inflate every warp/filter window.
+        margin = 8
         extent = max((max(y1 - y0, x1 - x0)
                       for y0, y1, x0, x1 in bboxes.values()), default=0)
         # 32-granular windows: warp/filter cost scales with roi² and the

@@ -78,6 +78,29 @@ def test_erode_matches_cv2():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_erode_dilate_van_herk_matches_cv2():
+    """Wide windows take the O(log k) van Herk sliding-min path — it
+    must stay EXACTLY equal to cv2 for every parity (even/odd k) and
+    for non-k-aligned extents (compositor uses k up to 128 on 32-granular
+    ROI windows)."""
+    rng = np.random.default_rng(5)
+    for k in (16, 17, 33, 100, 128):
+        for hw in (40, 129, 150):
+            mask = rng.uniform(0, 1, (2, hw, hw, 3)).astype(np.float32)
+            kernel = np.ones((k, k), np.uint8)
+            out = np.asarray(erode(jnp.asarray(mask), k))
+            out_d = np.asarray(dilate(jnp.asarray(mask), k))
+            for b in range(2):
+                for c in range(3):
+                    ref = cv2.erode(mask[b, ..., c], kernel)
+                    np.testing.assert_array_equal(
+                        out[b, ..., c], ref, err_msg=f'erode k={k} hw={hw}')
+                    ref_d = cv2.dilate(mask[b, ..., c], kernel)
+                    np.testing.assert_array_equal(
+                        out_d[b, ..., c], ref_d,
+                        err_msg=f'dilate k={k} hw={hw}')
+
+
 def test_nms_matches_numpy_greedy():
     rng = np.random.default_rng(4)
     n = 64
