@@ -194,6 +194,56 @@ def test_device_pipeline_no_faces(tiny_restorer):
     assert diff.mean() < 1.5, diff.mean()
 
 
+def test_device_pipeline_border_face(tiny_restorer):
+    """A face crossing the canvas corner: its bbox extends off-canvas,
+    so the ROI window clamps to the canvas edge. The clamped window must
+    still cover the in-canvas part of the face and blend identically to
+    the classic path (guards the margin=8 window maths)."""
+    from codeformer_tpu.pipeline.device_pipeline import DeviceRestorePipeline
+    from codeformer_tpu.pipeline.video import restore_video_frames
+
+    rng = np.random.default_rng(7)
+    frames = [rng.uniform(30, 220, (540, 720, 3)).astype(np.uint8)]
+
+    t = np.array(
+        [[192.98138, 239.94708], [318.90277, 240.1936],
+         [256.63416, 314.01935], [201.26117, 371.41043],
+         [313.08905, 371.15118]], np.float32)
+    # landmark cluster near the top-left corner: the warped face quad
+    # spans negative frame coords
+    corner_lm = t * 0.45 - np.array([60.0, 80.0], np.float32)
+
+    class CornerDet(_InjectedDetector):
+        frame_hw = (540, 720)
+
+        def _det_rows(self, n, det_scale, frame_hw):
+            lm = corner_lm * det_scale
+            row = np.zeros(15, np.float32)
+            row[0:4] = [lm[:, 0].min() - 20, lm[:, 1].min() - 40,
+                        lm[:, 0].max() + 20, lm[:, 1].max() + 30]
+            row[4] = 0.99
+            row[5:15] = lm.reshape(-1)
+            return np.tile(row, (n, 1))
+
+    helper_a = _Helper(use_parse=False)
+    helper_a.face_detector = CornerDet()
+    classic = restore_video_frames(frames, tiny_restorer, helper_a,
+                                   w=0.5, upscale=2, resize=640)
+
+    helper_b = _Helper(use_parse=False)
+    helper_b.face_detector = CornerDet()
+    pipe = DeviceRestorePipeline(tiny_restorer, helper_b, upscale=2,
+                                 frame_chunk=1, w=0.5)
+    fused = pipe.restore_frames(frames)
+
+    # the ROI path (not the full-canvas fallback) must have been used
+    assert any(k[0] == 'merged' and k[-1] > 0 for k in pipe._graphs)
+    diff = np.abs(classic[0].astype(np.float32)
+                  - fused[0].astype(np.float32))
+    assert diff.mean() < 3.0, diff.mean()
+    assert np.median(diff) <= 1.0
+
+
 def test_device_pipeline_fullcanvas_fallback(tiny_restorer):
     """A face as large as the frame forces the full-canvas composite
     path (ROI window would not fit); results must still match the
