@@ -127,8 +127,11 @@ def main(argv=None):
         result_root = args.output_path
     video_meta = None
     if input_video:
-        input_img_list, video_meta = _read_video_frames(args.input_path)
-    if not input_img_list:
+        # lazy frame stream: the fused pipeline consumes it chunk by
+        # chunk (bounded memory for arbitrarily long videos); the
+        # classic path materializes it
+        input_img_list, video_meta = _open_video_stream(args.input_path)
+    if not input_img_list and not input_video:
         raise FileNotFoundError(
             'No input image/video is found...\n'
             '\tNote that --input_path for video should end with '
@@ -161,35 +164,51 @@ def main(argv=None):
     print(f'\nAll results are saved in {result_root}')
 
 
-def _read_video_frames(path):
-    """Decode all frames: ffmpeg pipe if available, else cv2.VideoCapture."""
+def _open_video_stream(path):
+    """Lazy frame generator + meta: ffmpeg pipe if available, else
+    cv2.VideoCapture. The first frame is decoded eagerly so an empty or
+    unreadable video fails here, not mid-pipeline; the rest stream on
+    demand (the reference decodes the entire video into RAM up front,
+    inference_codeformer.py:90-103 — that caps video length at host
+    memory, so the TPU build streams instead)."""
     from codeformer_tpu.utils.video_util import VideoReader, have_ffmpeg
     if have_ffmpeg():
         reader = VideoReader(path)
-        frames = []
-        frame = reader.get_frame()
-        while frame is not None:
-            frames.append(frame)
-            frame = reader.get_frame()
         meta = {'fps': reader.get_fps(), 'audio': reader.get_audio()}
-        reader.close()
-        return frames, meta
+        first = reader.get_frame()
+        if first is None:
+            reader.close()
+            raise FileNotFoundError(f'no decodable frames in {path}')
+
+        def gen():
+            frame = first
+            while frame is not None:
+                yield frame
+                frame = reader.get_frame()
+            reader.close()
+
+        return gen(), meta
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise RuntimeError(f'cannot open video {path} (no ffmpeg and '
                            f'cv2.VideoCapture failed)')
     fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
-    frames = []
-    while True:
-        ok, frame = cap.read()
-        if not ok:
-            break
-        frames.append(frame)
-    cap.release()
+    ok, first = cap.read()
+    if not ok:
+        cap.release()
+        raise FileNotFoundError(f'no decodable frames in {path}')
+
+    def gen():
+        frame, good = first, True
+        while good:
+            yield frame
+            good, frame = cap.read()
+        cap.release()
+
     # cv2 cannot demux audio, but the source path is still recorded: the
     # ffmpeg writer muxes from it with '-map 1:a?' (missing audio is
     # non-fatal), and the cv2 fallback writer warns that audio is dropped
-    return frames, {'fps': fps, 'audio': path}
+    return gen(), {'fps': fps, 'audio': path}
 
 
 if __name__ == '__main__':

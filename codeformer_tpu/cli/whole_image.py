@@ -121,11 +121,35 @@ def run_whole_images(args, input_img_list, result_root, restorer,
             restorer, face_helper, upscale=args.upscale, w=w,
             only_center_face=args.only_center_face)
         if input_video:
-            restored_frames = pipe.restore_frames(input_img_list)
-            for i, frame in enumerate(restored_frames):
-                img_util.imwrite(frame, os.path.join(
-                    result_root, 'final_results', f'{i:06d}.png'))
-            _write_video(args, result_root, video_name, video_meta)
+            # streaming: frames are pulled from the (lazy) source chunk
+            # by chunk and written straight to the encoder — bounded
+            # memory for arbitrarily long videos. PNG dumps per frame
+            # are kept for output parity with the reference.
+            writer = None
+            n = 0
+            try:
+                for frame in pipe.restore_frames_stream(
+                        iter(input_img_list)):
+                    img_util.imwrite(frame, os.path.join(
+                        result_root, 'final_results', f'{n:06d}.png'))
+                    if writer is None:
+                        from codeformer_tpu.utils.video_util import \
+                            make_video_writer
+                        meta = video_meta or {}
+                        fps = meta.get('fps', 24.0)
+                        if args.save_video_fps is not None:
+                            fps = args.save_video_fps
+                        writer = make_video_writer(
+                            os.path.join(result_root,
+                                         f'{video_name}.mp4'),
+                            frame.shape[0], frame.shape[1], fps,
+                            meta.get('audio'))
+                        print('Video Saving (streaming)...')
+                    writer.write_frame(frame)
+                    n += 1
+            finally:
+                if writer is not None:
+                    writer.close()
         else:
             restored_frames, faces = pipe.restore_frames(
                 input_img_list, return_faces=True)
@@ -146,6 +170,11 @@ def run_whole_images(args, input_img_list, result_root, restorer,
                 img_util.imwrite(frame, os.path.join(
                     result_root, 'final_results', f'{save_base}.png'))
         return
+
+    # classic paths need the frames materialized (video inputs may
+    # arrive as a lazy stream from _open_video_stream)
+    if input_video and not isinstance(input_img_list, list):
+        input_img_list = list(input_img_list)
 
     # classic batched fast path for videos: frames flow through each
     # neural stage in batches (detection / restoration / parsing)

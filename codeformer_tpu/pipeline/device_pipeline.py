@@ -434,6 +434,67 @@ class DeviceRestorePipeline:
             pending = nxt
         return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
+    def restore_frames_stream(self, frames_iter):
+        """Bounded-memory streaming variant of restore_frames: consume
+        uint8 BGR frames from an iterator, yield restored frames (numpy
+        uint8 BGR) in order. Peak footprint is two frame chunks (host +
+        device) regardless of stream length — the reference
+        (inference_codeformer.py:90-103) and restore_frames both hold
+        EVERY frame in RAM, which caps video length at host/HBM size.
+
+        The detection software-pipeline is preserved across the stream:
+        chunk k+1 is read and its detector dispatched while chunk k's
+        merged graph executes. Output is identical to restore_frames on
+        the materialized list (same graphs, same chunking, including the
+        exact-size compile for streams shorter than one chunk and the
+        repeat-padded tail)."""
+        import cv2
+        it = iter(frames_iter)
+        first = next(it, None)
+        if first is None:
+            return
+        scale = 1.0
+        if min(first.shape[:2]) < 512:
+            scale = 512.0 / min(first.shape[:2])
+
+        def prep(fr):
+            if scale != 1.0:
+                fr = cv2.resize(fr, (0, 0), fx=scale, fy=scale,
+                                interpolation=cv2.INTER_LINEAR)
+            return fr
+
+        def chunked():
+            buf = [prep(first)]
+            for fr in it:
+                buf.append(prep(fr))
+                if len(buf) == self.frame_chunk:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        prev = None  # (device chunk, pending detection, real frames)
+        for buf in chunked():
+            r = len(buf)
+            arr = np.stack(buf)
+            if r < self.frame_chunk and prev is not None:
+                arr = np.concatenate(
+                    [arr, np.repeat(arr[-1:], self.frame_chunk - r,
+                                    axis=0)])
+            # a short FIRST chunk means the whole stream fits it:
+            # compile exact-size, like restore_frames_device
+            chunk = jnp.asarray(arr)
+            pending = self._detect_start(chunk)
+            if prev is not None:
+                out = self._restore_chunk_device(
+                    prev[0], pending_dets=prev[1])
+                for f in np.asarray(out[:prev[2]]):
+                    yield f
+            prev = (chunk, pending, r)
+        out = self._restore_chunk_device(prev[0], pending_dets=prev[1])
+        for f in np.asarray(out[:prev[2]]):
+            yield f
+
     def restore_frames(self, frames: List[np.ndarray],
                        return_faces: bool = False):
         """Host-facing wrapper: handles the min-side-512 upscale rule and

@@ -194,6 +194,38 @@ def test_device_pipeline_no_faces(tiny_restorer):
     assert diff.mean() < 1.5, diff.mean()
 
 
+def test_device_pipeline_stream_matches_batch(tiny_restorer):
+    """restore_frames_stream must produce bitwise-identical frames to
+    restore_frames (same graphs, same chunking), across a full chunk, a
+    repeat-padded tail chunk (5 = 2 + 2 + 1) and the lazy-iterator
+    entry."""
+    from codeformer_tpu.pipeline.device_pipeline import DeviceRestorePipeline
+
+    rng = np.random.default_rng(11)
+    frames = [rng.uniform(20, 235, (540, 720, 3)).astype(np.uint8)
+              for _ in range(5)]
+
+    helper = _Helper(use_parse=False)
+    pipe = DeviceRestorePipeline(tiny_restorer, helper, upscale=2,
+                                 frame_chunk=2, w=0.5)
+    batch = pipe.restore_frames(frames)
+    streamed = list(pipe.restore_frames_stream(f for f in frames))
+
+    assert len(streamed) == len(batch)
+    for got, want in zip(streamed, batch):
+        assert got.dtype == np.uint8 and got.shape == want.shape
+        assert np.array_equal(got, want)
+
+    # short stream (< one chunk): exact-size compile path
+    short = list(pipe.restore_frames_stream(iter(frames[:1])))
+    short_batch = pipe.restore_frames(frames[:1])
+    assert len(short) == 1
+    assert np.array_equal(short[0], short_batch[0])
+
+    # empty stream yields nothing
+    assert list(pipe.restore_frames_stream(iter([]))) == []
+
+
 def test_device_pipeline_border_face(tiny_restorer):
     """A face crossing the canvas corner: its bbox extends off-canvas,
     so the ROI window clamps to the canvas edge. The clamped window must

@@ -81,6 +81,9 @@ class _StubDevicePipeline:
                  for f in frames]
         return up, faces
 
+    def restore_frames_stream(self, frames_iter):
+        yield from self.restore_frames(list(frames_iter))
+
 
 def _cli_args(in_dir, fused='auto', detection='retinaface_resnet50'):
     return SimpleNamespace(
@@ -214,3 +217,73 @@ def test_folder_restores_all_faces_in_one_stream(tmp_path, monkeypatch):
     np.testing.assert_array_equal(out0[:64, :64], 255 - img0[:64, :64])
     faces = sorted(os.listdir(out_dir / 'restored_faces'))
     assert len(faces) == 5
+
+
+def test_cli_main_streams_video_lazily(tmp_path, monkeypatch):
+    """main() on a video file must hand run_whole_images a LAZY frame
+    stream (bounded memory), and the fused branch must write the output
+    video incrementally from that stream."""
+    import codeformer_tpu.cli.inference_codeformer as cli
+    import codeformer_tpu.pipeline.device_pipeline as dp_mod
+
+    clip = tmp_path / 'clip.avi'
+    vw = cv2.VideoWriter(str(clip), cv2.VideoWriter_fourcc(*'MJPG'),
+                         12.0, (96, 64))
+    assert vw.isOpened()
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        vw.write(rng.integers(0, 255, (64, 96, 3)).astype(np.uint8))
+    vw.release()
+
+    seen = {}
+
+    def spy_run(args, input_img_list, result_root, restorer, input_video,
+                video_meta=None):
+        seen['lazy'] = not isinstance(input_img_list, list)
+        seen['n'] = len(list(input_img_list))
+        seen['video'] = input_video
+        seen['meta'] = video_meta
+
+    class _NoopRestorer:
+        def __init__(self, **kw):
+            pass
+
+    monkeypatch.setattr(cli, 'CodeFormerRestorer', _NoopRestorer)
+    monkeypatch.setattr(wi, 'run_whole_images', spy_run)
+    import codeformer_tpu.cli.whole_image  # ensure module import works
+    monkeypatch.setattr('codeformer_tpu.cli.whole_image.run_whole_images',
+                        spy_run)
+    cli.main(['-i', str(clip), '-w', '0.5', '--random-init',
+              '-o', str(tmp_path / 'out')])
+
+    assert seen['video'] is True
+    assert seen['lazy'] is True          # a generator, not a list
+    assert seen['n'] == 5                # and it yields every frame
+    assert seen['meta']['fps'] == 12.0
+
+
+def test_fused_video_streams_through_pipeline(tmp_path, monkeypatch):
+    """The fused video branch consumes a generator end to end: PNG per
+    frame + incrementally written video, no materialized frame list."""
+    import codeformer_tpu.pipeline.device_pipeline as dp_mod
+    monkeypatch.setattr(wi, 'FaceRestoreHelper', _StubHelper)
+    monkeypatch.setattr(dp_mod, 'DeviceRestorePipeline',
+                        _StubDevicePipeline)
+    _StubDevicePipeline.calls = []
+    out_dir = tmp_path / 'out'
+    for sub in ('cropped_faces', 'restored_faces', 'final_results'):
+        (out_dir / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+
+    def frame_gen():
+        for _ in range(4):
+            yield rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+
+    args = _cli_args(tmp_path / 'clip.mp4')
+    wi.run_whole_images(args, frame_gen(), str(out_dir), _StubRestorer(),
+                        input_video=True,
+                        video_meta={'fps': 24.0, 'audio': None})
+    assert _StubDevicePipeline.calls == [4]
+    finals = sorted(os.listdir(out_dir / 'final_results'))
+    assert finals == [f'{i:06d}.png' for i in range(4)]
+    assert (out_dir / 'clip.mp4').exists()
