@@ -63,14 +63,15 @@ class PerceptualLoss:
                  vgg_type: str = 'vgg19', use_input_norm: bool = True,
                  range_norm: bool = False,
                  perceptual_weight: float = 1.0, style_weight: float = 0.0,
-                 criterion: str = 'l1'):
+                 criterion: str = 'l1', dtype=jnp.float32):
         self.layer_weights = dict(layer_weights)
         self.perceptual_weight = perceptual_weight
         self.style_weight = style_weight
         self.criterion = criterion
         self.net = VGGFeatureExtractor(
             layer_name_list=tuple(self.layer_weights), vgg_type=vgg_type,
-            use_input_norm=use_input_norm, range_norm=range_norm)
+            use_input_norm=use_input_norm, range_norm=range_norm,
+            dtype=dtype)
         path = VGG16_WEIGHTS if vgg_type == 'vgg16' else VGG19_WEIGHTS
         self.params = _load_vgg_params(path, 'PerceptualLoss')
 
@@ -113,8 +114,10 @@ class LPIPSLoss:
     fallback (VGG19 taps / uniform heads) is active."""
 
     def __init__(self, loss_weight: float = 1.0,
-                 use_input_norm: bool = True, range_norm: bool = False):
+                 use_input_norm: bool = True, range_norm: bool = False,
+                 dtype=jnp.float32):
         logger = get_root_logger()
+        self.dtype = dtype
         self.loss_weight = loss_weight
         self.use_input_norm = use_input_norm
         self.range_norm = range_norm
@@ -126,7 +129,7 @@ class LPIPSLoss:
             self.layers = LPIPS_LAYERS_VGG16
             self.net = VGGFeatureExtractor(
                 layer_name_list=self.layers, vgg_type='vgg16',
-                use_input_norm=False, range_norm=False)
+                use_input_norm=False, range_norm=False, dtype=dtype)
             self.params = _load_vgg_params(VGG16_WEIGHTS, 'LPIPSLoss')
         else:
             self.degraded = True
@@ -139,7 +142,7 @@ class LPIPSLoss:
             self.layers = LPIPS_LAYERS_VGG19
             self.net = VGGFeatureExtractor(
                 layer_name_list=self.layers, vgg_type='vgg19',
-                use_input_norm=False, range_norm=False)
+                use_input_norm=False, range_norm=False, dtype=dtype)
             self.params = _load_vgg_params(VGG19_WEIGHTS, 'LPIPSLoss')
 
         self.lins: Optional[Dict] = None
@@ -200,14 +203,17 @@ def load_lpips_lin_heads(path: str) -> Dict[int, jnp.ndarray]:
             for i in range(5)}
 
 
-def build_perceptual_loss(opt: Dict):
-    """From a YAML perceptual_opt block (type: LPIPSLoss|PerceptualLoss)."""
+def build_perceptual_loss(opt: Dict, dtype=jnp.float32):
+    """From a YAML perceptual_opt block (type: LPIPSLoss|PerceptualLoss).
+    `dtype` is the trainer's compute dtype (bf16 under mixed precision);
+    feature distances always reduce in f32."""
     opt = dict(opt)
     ltype = opt.pop('type')
     if ltype == 'LPIPSLoss':
         return LPIPSLoss(loss_weight=opt.get('loss_weight', 1.0),
                          use_input_norm=opt.get('use_input_norm', True),
-                         range_norm=opt.get('range_norm', False))
+                         range_norm=opt.get('range_norm', False),
+                         dtype=dtype)
     if ltype == 'PerceptualLoss':
         return PerceptualLoss(
             layer_weights=opt['layer_weights'],
@@ -216,5 +222,5 @@ def build_perceptual_loss(opt: Dict):
             range_norm=opt.get('range_norm', False),
             perceptual_weight=opt.get('perceptual_weight', 1.0),
             style_weight=opt.get('style_weight', 0.0),
-            criterion=opt.get('criterion', 'l1'))
+            criterion=opt.get('criterion', 'l1'), dtype=dtype)
     raise NotImplementedError(f'perceptual loss {ltype}')

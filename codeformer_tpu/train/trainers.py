@@ -74,12 +74,35 @@ class BaseTrainer:
         self.log_dict: Dict[str, float] = {}
         self.train_opt = opt.get('train', {})
         self.ema_decay = self.train_opt.get('ema_decay', 0.0)
+        # mixed_precision: bf16 — activations/compute in bfloat16,
+        # params/optimizer/EMA/losses stay float32 (flax param_dtype
+        # default; every loss in train/losses.py casts to f32 at entry).
+        # The reference trains pure fp32 (no AMP anywhere in
+        # basicsr/models/*); bf16 compute is the TPU-native policy that
+        # halves the HBM activation traffic the 512^2 stages are bound
+        # by. Off by default for bit-parity with the reference recipe.
+        mp = str(opt.get('mixed_precision')
+                 or self.train_opt.get('mixed_precision') or '').lower()
+        if mp and mp not in ('bf16', 'bfloat16', 'none', 'fp32',
+                             'float32'):
+            raise ValueError(f'mixed_precision: unknown value {mp!r} '
+                             f"(use 'bf16')")
+        self.compute_dtype = jnp.bfloat16 if mp in ('bf16', 'bfloat16') \
+            else jnp.float32
         self._setup_mesh()
         self._build()
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self.state = jax.device_put(
                 self.state, NamedSharding(self.mesh, P()))
+
+    def _net(self, net_opt: Dict):
+        """build_network with the trainer's compute dtype injected
+        (explicit YAML `dtype` keys win)."""
+        net_opt = dict(net_opt)
+        if self.compute_dtype != jnp.float32:
+            net_opt.setdefault('dtype', self.compute_dtype)
+        return build_network(net_opt)
 
     def _setup_mesh(self):
         """Data-parallel mesh over all local devices (the DDP analog).
@@ -207,12 +230,13 @@ class SRModel(BaseTrainer):
 
     def _build(self):
         opt = self.opt
-        self.net_g = build_network(opt['network_g'])
+        self.net_g = self._net(opt['network_g'])
         self.has_perceptual = 'perceptual_opt' in self.train_opt
         if self.has_perceptual:
             from .perceptual import build_perceptual_loss
             self.cri_perceptual = build_perceptual_loss(
-                self.train_opt['perceptual_opt'])
+                self.train_opt['perceptual_opt'],
+                dtype=self.compute_dtype)
         else:
             self.cri_perceptual = None
         pix = dict(self.train_opt.get('pixel_opt')
@@ -284,8 +308,8 @@ class VQGANModel(BaseTrainer):
 
     def _build(self):
         opt = self.opt
-        self.net_g = build_network(opt['network_g'])
-        self.net_d = build_network(opt.get('network_d', {
+        self.net_g = self._net(opt['network_g'])
+        self.net_d = self._net(opt.get('network_d', {
             'type': 'VQGANDiscriminator', 'nc': 3, 'ndf': 64}))
         self.l_weight_codebook = self.train_opt.get('codebook_loss_weight',
                                                     1.0)
@@ -296,7 +320,8 @@ class VQGANModel(BaseTrainer):
         if self.has_perceptual:
             from .perceptual import build_perceptual_loss
             self.cri_perceptual = build_perceptual_loss(
-                self.train_opt['perceptual_opt'])
+                self.train_opt['perceptual_opt'],
+                dtype=self.compute_dtype)
         else:
             self.cri_perceptual = None
 
@@ -450,7 +475,7 @@ class CodeFormerIdxModel(BaseTrainer):
         self.fix_modules = tuple(net_opt.pop('fix_modules',
                                              ('quantize', 'generator')))
         vqgan_path = net_opt.pop('vqgan_path', None)
-        self.net_g = build_network(net_opt)
+        self.net_g = self._net(net_opt)
 
         self.hq_feat_loss = self.train_opt.get('use_hq_feat_loss', True)
         self.feat_loss_weight = self.train_opt.get('feat_loss_weight', 1.0)
@@ -461,7 +486,7 @@ class CodeFormerIdxModel(BaseTrainer):
         # (codeformer_idx_model.py:46-57)
         self.generate_idx_gt = 'network_vqgan' in opt
         if self.generate_idx_gt:
-            self.hq_vqgan = build_network(opt['network_vqgan'])
+            self.hq_vqgan = self._net(opt['network_vqgan'])
 
         self.schedule_g = build_schedule(
             self.train_opt, self.train_opt['optim_g']['lr'])
@@ -572,8 +597,8 @@ class CodeFormerJointModel(BaseTrainer):
         self.fix_modules = tuple(net_opt.pop('fix_modules',
                                              ('quantize', 'generator')))
         net_opt.pop('vqgan_path', None)
-        self.net_g = build_network(net_opt)
-        self.net_d = build_network(opt.get('network_d', {
+        self.net_g = self._net(net_opt)
+        self.net_d = self._net(opt.get('network_d', {
             'type': 'VQGANDiscriminator'}))
         self.fix_generator = 'generator' in self.fix_modules
 
@@ -589,13 +614,14 @@ class CodeFormerJointModel(BaseTrainer):
         if self.has_perceptual:
             from .perceptual import build_perceptual_loss
             self.cri_perceptual = build_perceptual_loss(
-                self.train_opt['perceptual_opt'])
+                self.train_opt['perceptual_opt'],
+                dtype=self.compute_dtype)
         else:
             self.cri_perceptual = None
 
         self.generate_idx_gt = 'network_vqgan' in opt
         if self.generate_idx_gt:
-            self.hq_vqgan = build_network(opt['network_vqgan'])
+            self.hq_vqgan = self._net(opt['network_vqgan'])
 
         self.schedule_g = build_schedule(
             self.train_opt, self.train_opt['optim_g']['lr'])

@@ -23,11 +23,11 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
-def build_opt(batch: int, img: int = 512):
+def build_opt(batch: int, img: int = 512, mixed: str = None):
     connect = [s for s in ('32', '64', '128', '256') if int(s) < img]
     return {
         'name': 'bench_train_step', 'manual_seed': 0, 'num_devices': 1,
-        'is_train': True,
+        'is_train': True, 'mixed_precision': mixed,
         'datasets': {'train': {'in_size': img, 'gt_size': img,
                                'batch_size_per_gpu': batch}},
         'path': {'models': '/tmp/bench_train/models',
@@ -87,11 +87,12 @@ def _patch_random_vgg():
           'meaningless loss values)', flush=True)
 
 
-def bench_batch(batch: int, img: int, iters: int) -> float:
+def bench_batch(batch: int, img: int, iters: int,
+                mixed: str = None) -> float:
     import jax
     from codeformer_tpu.train.trainers import build_model
 
-    model = build_model(build_opt(batch, img))
+    model = build_model(build_opt(batch, img, mixed))
     rng = np.random.default_rng(0)
     feed = {
         'in': rng.uniform(-1, 1, (batch, img, img, 3)).astype(np.float32),
@@ -116,6 +117,8 @@ def main():
     p.add_argument('--img', type=int, default=512)
     p.add_argument('--iters', type=int, default=6)
     p.add_argument('--batches', type=int, nargs='+', default=[1, 2, 4, 8])
+    p.add_argument('--mixed', type=str, default=None, choices=['bf16'],
+                   help='mixed_precision compute dtype (params stay f32)')
     args = p.parse_args()
 
     import jax
@@ -124,7 +127,7 @@ def main():
 
     for b in args.batches:
         try:
-            bench_batch(b, args.img, args.iters)
+            bench_batch(b, args.img, args.iters, args.mixed)
         except Exception as e:
             print(f'B={b} failed: {type(e).__name__}: '
                   f'{str(e)[:200]}', flush=True)

@@ -227,3 +227,56 @@ def test_trainer_auto_data_parallel(tmp_path, tiny_dataset):
     loss_multi, _ = run(8, 'dp_multi')
     loss_single, _ = run(1, 'dp_single')
     np.testing.assert_allclose(loss_multi, loss_single, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_joint_trains_mixed_precision_bf16(tmp_path, tiny_dataset):
+    """mixed_precision: bf16 — the stage-III joint step runs with bf16
+    activations while params/EMA/optimizer state stay f32 and every
+    logged loss is finite. (The reference trains pure fp32; bf16 compute
+    is the TPU-native policy — see BaseTrainer.)"""
+    import jax
+    from codeformer_tpu.data import build_dataset
+    from codeformer_tpu.data.loader import build_dataloader
+    from codeformer_tpu.train.trainers import build_model
+
+    opt = _base_opt(tmp_path, 'stage3_bf16_smoke', tiny_dataset)
+    opt['model_type'] = 'CodeFormerJointModel'
+    opt['mixed_precision'] = 'bf16'
+    opt['network_g'] = dict(TINY_CF)
+    opt['network_vqgan'] = dict(TINY_VQGAN)
+    opt['network_d'] = {'type': 'VQGANDiscriminator', 'nc': 3, 'ndf': 32,
+                        'n_layers': 2}
+    opt['train']['scale_adaptive_gan_weight'] = 0.1
+    ds_opt = opt['datasets']['train']
+    ds_opt['type'] = 'FFHQBlindJointDataset'
+    ds_opt.update(blur_sigma_large=[1, 15], downsample_range_large=[4, 16],
+                  noise_range_large=[0, 20], jpeg_range_large=[30, 80])
+
+    model = build_model(opt)
+    assert model.compute_dtype == jnp.bfloat16
+    ds = build_dataset(ds_opt)
+    loader = build_dataloader(ds, ds_opt)
+    for i, batch in enumerate(_make_batches(loader, 2), start=1):
+        model.feed_data(batch)
+        model.optimize_parameters(i)
+    log = model.log_dict
+    assert all(np.isfinite(v) for v in log.values()), log
+    # master params, EMA and optimizer moments all stay f32
+    for tree in (model.state.params_g, model.state.params_g_ema,
+                 model.state.params_d):
+        assert all(leaf.dtype == jnp.float32
+                   for leaf in jax.tree.leaves(tree))
+    assert all(leaf.dtype in (jnp.float32, jnp.int32)
+               for leaf in jax.tree.leaves(model.state.opt_g))
+
+
+def test_mixed_precision_rejects_unknown_value(tmp_path, tiny_dataset):
+    from codeformer_tpu.train.trainers import build_model
+    opt = _base_opt(tmp_path, 'mp_bad', tiny_dataset)
+    opt['model_type'] = 'CodeFormerJointModel'
+    opt['mixed_precision'] = 'fp16'
+    opt['network_g'] = dict(TINY_CF)
+    opt['network_vqgan'] = dict(TINY_VQGAN)
+    with pytest.raises(ValueError, match='mixed_precision'):
+        build_model(opt)
