@@ -104,6 +104,17 @@ class BaseTrainer:
             net_opt.setdefault('dtype', self.compute_dtype)
         return build_network(net_opt)
 
+    @staticmethod
+    def _jit_step(fn):
+        """jit a (state, ...) -> (state, metrics) step with the input
+        state DONATED: every params/EMA/optimizer-moment buffer aliases
+        its successor in place instead of coexisting with it, cutting
+        the step's peak HBM by one full model+optimizer footprint
+        (~1.1 GB for the 512 stage-III nets). Callers always replace
+        self.state with the returned one, so the donated buffers are
+        never re-read. CPU ignores donation (tests run unchanged)."""
+        return jax.jit(fn, donate_argnums=(0,))
+
     def _setup_mesh(self):
         """Data-parallel mesh over all local devices (the DDP analog).
         Disable with opt['num_devices'] = 1."""
@@ -258,7 +269,7 @@ class SRModel(BaseTrainer):
             step=jnp.zeros((), jnp.int32), params_g=params_g,
             params_g_ema=jax.tree.map(jnp.asarray, params_g),
             opt_g=self.opt_g_tx.init(params_g))
-        self._step = jax.jit(self._make_step())
+        self._step = self._jit_step(self._make_step())
 
     def _pixel_loss(self, out, gt):
         from .losses import charbonnier_loss, mse_loss
@@ -355,7 +366,7 @@ class VQGANModel(BaseTrainer):
                    for k in params_g['generator'] if k.startswith('blocks_'))
         self._anchor = ('generator', f'blocks_{last}', 'kernel')
 
-        self._step = jax.jit(self._make_step())
+        self._step = self._jit_step(self._make_step())
 
     def _make_step(self):
         is_gumbel = self.opt['network_g'].get('quantizer') == 'gumbel'
@@ -520,7 +531,7 @@ class CodeFormerIdxModel(BaseTrainer):
             step=jnp.zeros((), jnp.int32), params_g=params_g,
             params_g_ema=jax.tree.map(jnp.asarray, params_g),
             opt_g=self.opt_g_tx.init(params_g))
-        self._step = jax.jit(self._make_step())
+        self._step = self._jit_step(self._make_step())
 
     def _latent_hw(self):
         # 512 -> 16 for the fixed backbone (codeformer_arch.py:259)
@@ -668,8 +679,8 @@ class CodeFormerJointModel(BaseTrainer):
                        if k.startswith('blocks_'))
             self._anchor = ('generator', f'blocks_{last}', 'kernel')
 
-        self._step_full = jax.jit(self._make_full_step())
-        self._step_code = jax.jit(self._make_code_step())
+        self._step_full = self._jit_step(self._make_full_step())
+        self._step_code = self._jit_step(self._make_code_step())
 
     def _idx_gt(self, gt, batch):
         if 'latent_gt' in batch:

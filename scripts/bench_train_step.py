@@ -121,7 +121,14 @@ def main():
                    help='mixed_precision compute dtype (params stay f32)')
     args = p.parse_args()
 
+    import os
     import jax
+    if os.environ.get('JAX_PLATFORMS', '').lower() == 'cpu':
+        # env vars alone still let jax probe the axon plugin (and hang
+        # ~25 min per attempt if the tunneled worker is down); the
+        # config update restricts backend init to cpu outright
+        jax.config.update('jax_platforms', 'cpu')
+        jax.config.update('jax_platform_name', 'cpu')
     jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
     _patch_random_vgg()
 
