@@ -17,7 +17,21 @@ from typing import Dict
 import numpy as np
 
 
+def _honor_cpu_platform_env():
+    """JAX_PLATFORMS=cpu in the environment must actually keep jax off
+    the TPU plugin: the experimental axon plugin ignores the env vars
+    and still probes the tunnel at backend init (a crashed tunnel
+    worker turns that probe into a ~25-min hang). The config update
+    restricts backend discovery outright. No-op unless the user asked
+    for CPU."""
+    if os.environ.get('JAX_PLATFORMS', '').lower() == 'cpu':
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        jax.config.update('jax_platform_name', 'cpu')
+
+
 def parse_options(root_path: str, args=None):
+    _honor_cpu_platform_env()
     from codeformer_tpu.utils.options import parse
     parser = argparse.ArgumentParser()
     parser.add_argument('-opt', type=str, required=True,

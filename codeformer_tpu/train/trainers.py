@@ -42,6 +42,56 @@ def _get_leaf(tree, path: Tuple[str, ...]):
     return node
 
 
+def _split_microbatches(tree, n: int):
+    """Split every (B, ...) leaf into (n, B//n, ...) microbatches for
+    gradient accumulation. The split INTERLEAVES elements
+    (x.reshape(B//n, n).swapaxes(0, 1)) rather than slicing contiguous
+    blocks: under a data-parallel mesh the leading dim is sharded over
+    contiguous chunks, and the interleaved layout keeps every microbatch
+    evenly spread across the devices instead of parking whole
+    microbatches on single devices. Which elements share a microbatch is
+    irrelevant to the accumulated gradient of a mean-reduced loss."""
+    def split(x):
+        b = x.shape[0]
+        if b % n:
+            raise ValueError(
+                f'accum_steps={n} must divide the (padded) batch size, '
+                f'got batch={b}')
+        return jnp.swapaxes(x.reshape((b // n, n) + x.shape[1:]), 0, 1)
+    return jax.tree.map(split, tree)
+
+
+def _accum_microbatches(fn, batch, n: int, carry=None):
+    """Gradient-accumulation driver: lax.scan `fn` over n interleaved
+    microbatches of `batch`, averaging its outputs.
+
+    fn(carry, microbatch, i) -> (carry, out_tree); every out_tree leaf
+    is accumulated as a running mean in its own dtype. Gradients of
+    mean-reduced losses over equal-size microbatches therefore average
+    to the exact full-batch gradient, so one optimizer update after the
+    scan reproduces the large-batch step while only one microbatch of
+    activations is ever live (the reference has no accumulation — it
+    reaches global batch 32 as 8 GPUs x 4, options/*.yml; this reaches
+    it on any chip count). Returns (carry, mean_out_tree)."""
+    micro = _split_microbatches(batch, n)
+    mb0 = jax.tree.map(lambda x: x[0], micro)
+    out_sd = jax.eval_shape(lambda c, m: fn(c, m, jnp.int32(0))[1],
+                            carry, mb0)
+    acc0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), out_sd)
+
+    def body(state, xs):
+        c, acc = state
+        mb, i = xs
+        c, out = fn(c, mb, i)
+        acc = jax.tree.map(lambda a, o: a + o.astype(a.dtype) / n,
+                           acc, out)
+        return (c, acc), None
+
+    (carry, acc), _ = jax.lax.scan(
+        body, (carry, acc0), (micro, jnp.arange(n, dtype=jnp.int32)))
+    return carry, acc
+
+
 def _l2norm(x):
     return jnp.sqrt(jnp.sum(x.astype(jnp.float32) ** 2))
 
@@ -89,6 +139,18 @@ class BaseTrainer:
                              f"(use 'bf16')")
         self.compute_dtype = jnp.bfloat16 if mp in ('bf16', 'bfloat16') \
             else jnp.float32
+        # accum_steps: gradient accumulation — each optimizer step runs
+        # accum_steps sequential microbatches (lax.scan) and averages
+        # their grads, so only batch/accum_steps of activations is live
+        # at once. Trades step latency for HBM: the reference recipe's
+        # global batch 32 fits one chip as accum 16 x micro 2. Exact for
+        # the generator update; the discriminator's batchnorm sees
+        # microbatch statistics (the standard accumulation caveat).
+        raw_accum = self.train_opt.get('accum_steps', 1)
+        self.accum_steps = 1 if raw_accum is None else int(raw_accum)
+        if self.accum_steps < 1:
+            raise ValueError(
+                f'accum_steps must be >= 1, got {self.accum_steps}')
         self._setup_mesh()
         self._build()
         if self.mesh is not None:
@@ -292,15 +354,26 @@ class SRModel(BaseTrainer):
                 metrics['l_percep'] = l_percep
             return total, metrics
 
-        def step(state: TrainState, batch):
+        accum = self.accum_steps
+
+        def grads_of(params_g, batch):
             (total, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params_g, batch)
+                loss_fn, has_aux=True)(params_g, batch)
+            metrics['l_total'] = total
+            return grads, metrics
+
+        def step(state: TrainState, batch):
+            if accum == 1:
+                grads, metrics = grads_of(state.params_g, batch)
+            else:
+                _, (grads, metrics) = _accum_microbatches(
+                    lambda c, mb, i: (c, grads_of(state.params_g, mb)),
+                    batch, accum)
             updates, opt_g = self.opt_g_tx.update(grads, state.opt_g,
                                                   state.params_g)
             params_g = optax.apply_updates(state.params_g, updates)
             params_g_ema = ema_update(state.params_g_ema, params_g,
                                       self.ema_decay or 0.999)
-            metrics['l_total'] = total
             return TrainState(state.step + 1, params_g, params_g_ema,
                               opt_g), metrics
         return step
@@ -398,19 +471,65 @@ class VQGANModel(BaseTrainer):
                 aux['l_g_percep'] = l_percep
             return (recon, l_gan, l_codebook), aux
 
+        accum = self.accum_steps
+
         def step(state: TrainState, gt, current_iter):
             # gumbel temperature: max(1/16, 1 - iter/160000)
             temperature = jnp.maximum(
                 1.0 / 16, 1.0 - current_iter.astype(jnp.float32) / 160000)
             rng = jax.random.fold_in(jax.random.PRNGKey(0), current_iter)
-            (vals, vjp_fn, aux) = jax.vjp(
-                functools.partial(losses, params_d=state.params_d,
-                                  d_stats=state.d_stats, gt=gt,
-                                  temperature=temperature, rng=rng),
-                state.params_g, has_aux=True)
-            recon, l_gan, l_code = vals
-            g_rc = vjp_fn((1.0, 0.0, 1.0))[0]
-            g_gan = vjp_fn((0.0, 1.0, 0.0))[0]
+
+            def micro(d_stats_chain, gt_mb, rng_mb):
+                """One microbatch: the two generator cotangent pulls +
+                discriminator grads; chains the d batchnorm stats."""
+                (vals, vjp_fn, aux) = jax.vjp(
+                    functools.partial(losses, params_d=state.params_d,
+                                      d_stats=state.d_stats, gt=gt_mb,
+                                      temperature=temperature, rng=rng_mb),
+                    state.params_g, has_aux=True)
+                recon, l_gan, l_code = vals
+                g_rc = vjp_fn((1.0, 0.0, 1.0))[0]
+                g_gan = vjp_fn((0.0, 1.0, 0.0))[0]
+                out = jax.lax.stop_gradient(aux.pop('out'))
+
+                def d_loss(params_d, d_stats):
+                    real_pred, mut = self.net_d.apply(
+                        {'params': params_d, 'batch_stats': d_stats},
+                        gt_mb, train=True, mutable=['batch_stats'])
+                    fake_pred, mut = self.net_d.apply(
+                        {'params': params_d,
+                         'batch_stats': mut['batch_stats']}, out,
+                        train=True, mutable=['batch_stats'])
+                    l_real = gan_loss(real_pred, True, 'hinge',
+                                      is_disc=True)
+                    l_fake = gan_loss(fake_pred, False, 'hinge',
+                                      is_disc=True)
+                    return l_real + l_fake, (mut['batch_stats'],
+                                             {'l_d_real': l_real,
+                                              'l_d_fake': l_fake,
+                                              'out_d_real':
+                                                  jnp.mean(real_pred),
+                                              'out_d_fake':
+                                                  jnp.mean(fake_pred)})
+
+                (_, (new_stats, d_aux)), d_grads = jax.value_and_grad(
+                    d_loss, has_aux=True)(state.params_d, d_stats_chain)
+                scalars = {'_recon': recon, '_l_gan': l_gan,
+                           '_l_code': l_code, **aux, **d_aux}
+                return new_stats, (g_rc, g_gan, d_grads, scalars)
+
+            if accum == 1:
+                d_stats, (g_rc, g_gan, d_grads, m) = micro(
+                    state.d_stats, gt, rng)
+            else:
+                d_stats, (g_rc, g_gan, d_grads, m) = _accum_microbatches(
+                    lambda c, mb, i: micro(c, mb['gt'],
+                                           jax.random.fold_in(rng, i)),
+                    {'gt': gt}, accum, carry=state.d_stats)
+            recon = m.pop('_recon')
+            l_gan = m.pop('_l_gan')
+            l_code = m.pop('_l_code')
+            aux = m
             leaf_rc = _get_leaf(g_rc, self._anchor)
             leaf_gan = _get_leaf(g_gan, self._anchor)
             d_weight = _l2norm(leaf_rc) / (_l2norm(leaf_gan) + 1e-4)
@@ -427,28 +546,6 @@ class VQGANModel(BaseTrainer):
                                       self.ema_decay)
 
             # ---- discriminator ----
-            out = jax.lax.stop_gradient(aux.pop('out'))
-
-            def d_loss(params_d, d_stats):
-                real_pred, mut = self.net_d.apply(
-                    {'params': params_d, 'batch_stats': d_stats}, gt,
-                    train=True, mutable=['batch_stats'])
-                fake_pred, mut = self.net_d.apply(
-                    {'params': params_d,
-                     'batch_stats': mut['batch_stats']}, out, train=True,
-                    mutable=['batch_stats'])
-                l_real = gan_loss(real_pred, True, 'hinge', is_disc=True)
-                l_fake = gan_loss(fake_pred, False, 'hinge', is_disc=True)
-                return l_real + l_fake, (mut['batch_stats'],
-                                         {'l_d_real': l_real,
-                                          'l_d_fake': l_fake,
-                                          'out_d_real':
-                                              jnp.mean(real_pred),
-                                          'out_d_fake':
-                                              jnp.mean(fake_pred)})
-
-            (l_d, (d_stats, d_aux)), d_grads = jax.value_and_grad(
-                d_loss, has_aux=True)(state.params_d, state.d_stats)
             d_grads = jax.tree.map(lambda g: g * gan_on, d_grads)
             d_stats = jax.tree.map(
                 lambda new, old: gan_on * new + (1 - gan_on) * old,
@@ -460,7 +557,7 @@ class VQGANModel(BaseTrainer):
             metrics = {'l_g_total': recon + l_code
                        + d_weight * gan_on * l_gan,
                        'l_g_gan': d_weight * gan_on * l_gan,
-                       'd_weight': d_weight, **aux, **d_aux}
+                       'd_weight': d_weight, **aux}
             new_state = TrainState(
                 step=state.step + 1, params_g=params_g,
                 params_g_ema=params_g_ema, opt_g=opt_g, params_d=params_d,
@@ -576,16 +673,31 @@ class CodeFormerIdxModel(BaseTrainer):
                 metrics['cross_entropy_loss'] = l_ce
             return total, metrics
 
-        def step(state: TrainState, batch):
-            idx_gt = self._idx_gt(state.params_g, batch['gt'], batch)
+        accum = self.accum_steps
+
+        def grads_of(params_g, batch, idx_gt):
             (total, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params_g, batch, idx_gt)
+                loss_fn, has_aux=True)(params_g, batch, idx_gt)
+            metrics['l_g_total'] = total
+            return grads, metrics
+
+        def step(state: TrainState, batch):
+            if accum == 1:
+                idx_gt = self._idx_gt(state.params_g, batch['gt'], batch)
+                grads, metrics = grads_of(state.params_g, batch, idx_gt)
+            else:
+                # idx_gt (frozen-VQGAN encode) runs per microbatch too,
+                # so its activations share the microbatch footprint
+                def micro(c, mb, i):
+                    idx_gt = self._idx_gt(state.params_g, mb['gt'], mb)
+                    return c, grads_of(state.params_g, mb, idx_gt)
+                _, (grads, metrics) = _accum_microbatches(
+                    micro, batch, accum)
             updates, opt_g = self.opt_g_tx.update(grads, state.opt_g,
                                                   state.params_g)
             params_g = optax.apply_updates(state.params_g, updates)
             params_g_ema = ema_update(state.params_g_ema, params_g,
                                       self.ema_decay)
-            metrics['l_g_total'] = total
             return TrainState(state.step + 1, params_g, params_g_ema,
                               opt_g), metrics
         return step
@@ -733,15 +845,58 @@ class CodeFormerJointModel(BaseTrainer):
                 metrics['l_g_percep'] = l_percep
             return (code_total + recon, l_gan), metrics
 
+        accum = self.accum_steps
+
         def step(state: TrainState, batch, idx_gt, w, current_iter):
-            (vals, vjp_fn, metrics) = jax.vjp(
-                functools.partial(losses, params_d=state.params_d,
-                                  d_stats=state.d_stats, batch=batch,
-                                  idx_gt=idx_gt, w=w),
-                state.params_g, has_aux=True)
-            main, l_gan = vals
-            g_main = vjp_fn((1.0, 0.0))[0]
-            g_gan = vjp_fn((0.0, 1.0))[0]
+            def micro(d_stats_chain, mb, mb_idx):
+                """One microbatch: generator cotangent pulls + d grads;
+                chains the d batchnorm stats. mb_idx None -> compute
+                idx_gt from the frozen VQGAN per microbatch."""
+                if mb_idx is None:
+                    mb_idx = self._idx_gt(mb['gt'], mb)
+                (vals, vjp_fn, aux) = jax.vjp(
+                    functools.partial(losses, params_d=state.params_d,
+                                      d_stats=state.d_stats, batch=mb,
+                                      idx_gt=mb_idx, w=w),
+                    state.params_g, has_aux=True)
+                main, l_gan = vals
+                g_main = vjp_fn((1.0, 0.0))[0]
+                g_gan = vjp_fn((0.0, 1.0))[0]
+                out = jax.lax.stop_gradient(aux.pop('out'))
+
+                def d_loss(params_d, d_stats):
+                    real_pred, mut = self.net_d.apply(
+                        {'params': params_d, 'batch_stats': d_stats},
+                        mb['gt'], train=True, mutable=['batch_stats'])
+                    fake_pred, mut = self.net_d.apply(
+                        {'params': params_d,
+                         'batch_stats': mut['batch_stats']}, out,
+                        train=True, mutable=['batch_stats'])
+                    l_real = gan_loss(real_pred, True, 'hinge',
+                                      is_disc=True)
+                    l_fake = gan_loss(fake_pred, False, 'hinge',
+                                      is_disc=True)
+                    return l_real + l_fake, (
+                        mut['batch_stats'],
+                        {'l_d_real': l_real, 'l_d_fake': l_fake})
+
+                (_, (new_stats, d_aux)), d_grads = jax.value_and_grad(
+                    d_loss, has_aux=True)(state.params_d, d_stats_chain)
+                scalars = {'_main': main, '_l_gan': l_gan, **aux,
+                           **d_aux}
+                return new_stats, (g_main, g_gan, d_grads, scalars)
+
+            if accum == 1:
+                d_stats, (g_main, g_gan, d_grads, m) = micro(
+                    state.d_stats, batch, idx_gt)
+            else:
+                d_stats, (g_main, g_gan, d_grads, m) = \
+                    _accum_microbatches(
+                        lambda c, mb, i: micro(c, mb, None),
+                        batch, accum, carry=state.d_stats)
+            main = m.pop('_main')
+            l_gan = m.pop('_l_gan')
+            metrics = m
             leaf_m = _get_leaf(g_main, self._anchor)
             leaf_g = _get_leaf(g_gan, self._anchor)
             d_weight = _l2norm(leaf_m) / (_l2norm(leaf_g) + 1e-4)
@@ -757,24 +912,6 @@ class CodeFormerJointModel(BaseTrainer):
             params_g_ema = ema_update(state.params_g_ema, params_g,
                                       self.ema_decay)
 
-            out = jax.lax.stop_gradient(metrics.pop('out'))
-
-            def d_loss(params_d, d_stats):
-                real_pred, mut = self.net_d.apply(
-                    {'params': params_d, 'batch_stats': d_stats},
-                    batch['gt'], train=True, mutable=['batch_stats'])
-                fake_pred, mut = self.net_d.apply(
-                    {'params': params_d,
-                     'batch_stats': mut['batch_stats']}, out, train=True,
-                    mutable=['batch_stats'])
-                l_real = gan_loss(real_pred, True, 'hinge', is_disc=True)
-                l_fake = gan_loss(fake_pred, False, 'hinge', is_disc=True)
-                return l_real + l_fake, (
-                    mut['batch_stats'],
-                    {'l_d_real': l_real, 'l_d_fake': l_fake})
-
-            (_, (d_stats, d_aux)), d_grads = jax.value_and_grad(
-                d_loss, has_aux=True)(state.params_d, state.d_stats)
             d_grads = jax.tree.map(lambda g: g * gan_on, d_grads)
             d_stats = jax.tree.map(
                 lambda new, old: gan_on * new + (1 - gan_on) * old,
@@ -785,8 +922,7 @@ class CodeFormerJointModel(BaseTrainer):
 
             metrics.update(d_weight=d_weight,
                            l_g_gan=d_weight * gan_on * l_gan,
-                           l_g_total=main + d_weight * gan_on * l_gan,
-                           **d_aux)
+                           l_g_total=main + d_weight * gan_on * l_gan)
             return TrainState(state.step + 1, params_g, params_g_ema,
                               opt_g, params_d, d_stats, opt_d), metrics
         return step
@@ -800,15 +936,28 @@ class CodeFormerJointModel(BaseTrainer):
                 code_only=True)
             return self._code_losses(params_g, logits, lq_feat, idx_gt)
 
-        def step(state: TrainState, batch, idx_gt):
+        accum = self.accum_steps
+
+        def grads_of(params_g, batch, idx_gt):
             (total, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params_g, batch, idx_gt)
+                loss_fn, has_aux=True)(params_g, batch, idx_gt)
+            metrics['l_g_total'] = total
+            return grads, metrics
+
+        def step(state: TrainState, batch, idx_gt):
+            if accum == 1:
+                grads, metrics = grads_of(state.params_g, batch, idx_gt)
+            else:
+                def micro(c, mb, i):
+                    mb_idx = self._idx_gt(mb['gt'], mb)
+                    return c, grads_of(state.params_g, mb, mb_idx)
+                _, (grads, metrics) = _accum_microbatches(
+                    micro, batch, accum)
             updates, opt_g = self.opt_g_tx.update(grads, state.opt_g,
                                                   state.params_g)
             params_g = optax.apply_updates(state.params_g, updates)
             params_g_ema = ema_update(state.params_g_ema, params_g,
                                       self.ema_decay)
-            metrics['l_g_total'] = total
             return state._replace(
                 step=state.step + 1, params_g=params_g,
                 params_g_ema=params_g_ema, opt_g=opt_g), metrics
@@ -827,7 +976,10 @@ class CodeFormerJointModel(BaseTrainer):
 
     def optimize_parameters(self, current_iter: int):
         w, small_per_n = self._phase(current_iter)
-        idx_gt = self._idx_gt(self.batch['gt'], self.batch)
+        # accum > 1: idx_gt is computed per microbatch inside the step
+        # (so the frozen-VQGAN encode shares the microbatch footprint)
+        idx_gt = (None if self.accum_steps > 1
+                  else self._idx_gt(self.batch['gt'], self.batch))
         if current_iter % small_per_n == 0:
             self.state, metrics = self._step_full(
                 self.state, self.batch, idx_gt, jnp.float32(w),
@@ -850,7 +1002,8 @@ class CodeFormerModel(CodeFormerJointModel):
                                                         1.0))
 
     def optimize_parameters(self, current_iter: int):
-        idx_gt = self._idx_gt(self.batch['gt'], self.batch)
+        idx_gt = (None if self.accum_steps > 1
+                  else self._idx_gt(self.batch['gt'], self.batch))
         self.state, metrics = self._step_full(
             self.state, self.batch, idx_gt,
             jnp.float32(self.fidelity_weight), jnp.int32(current_iter))

@@ -23,7 +23,8 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
-def build_opt(batch: int, img: int = 512, mixed: str = None):
+def build_opt(batch: int, img: int = 512, mixed: str = None,
+              accum: int = 1):
     connect = [s for s in ('32', '64', '128', '256') if int(s) < img]
     return {
         'name': 'bench_train_step', 'manual_seed': 0, 'num_devices': 1,
@@ -46,6 +47,7 @@ def build_opt(batch: int, img: int = 512, mixed: str = None):
                           'quantizer': 'nearest', 'codebook_size': 1024},
         'network_d': {'type': 'VQGANDiscriminator', 'nc': 3, 'ndf': 64},
         'train': {
+            'accum_steps': accum,
             'total_iter': 150000, 'warmup_iter': -1, 'ema_decay': 0.997,
             'use_hq_feat_loss': True, 'feat_loss_weight': 1.0,
             'cross_entropy_loss': True, 'entropy_loss_weight': 0.5,
@@ -88,11 +90,11 @@ def _patch_random_vgg():
 
 
 def bench_batch(batch: int, img: int, iters: int,
-                mixed: str = None) -> float:
+                mixed: str = None, accum: int = 1) -> float:
     import jax
     from codeformer_tpu.train.trainers import build_model
 
-    model = build_model(build_opt(batch, img, mixed))
+    model = build_model(build_opt(batch, img, mixed, accum))
     rng = np.random.default_rng(0)
     feed = {
         'in': rng.uniform(-1, 1, (batch, img, img, 3)).astype(np.float32),
@@ -105,7 +107,8 @@ def bench_batch(batch: int, img: int, iters: int,
     for i in range(3, 3 + iters):
         model.optimize_parameters(i)
     dt = (time.perf_counter() - t0) / iters
-    print(f'B={batch}: {dt * 1000:8.1f} ms/iter '
+    tag = f'B={batch}' + (f' accum={accum}' if accum > 1 else '')
+    print(f'{tag}: {dt * 1000:8.1f} ms/iter '
           f'({batch / dt:6.2f} faces/s trained; ~23 ms of that is '
           f'axon-tunnel log fetch a real host would not pay)',
           flush=True)
@@ -119,6 +122,11 @@ def main():
     p.add_argument('--batches', type=int, nargs='+', default=[1, 2, 4, 8])
     p.add_argument('--mixed', type=str, default=None, choices=['bf16'],
                    help='mixed_precision compute dtype (params stay f32)')
+    p.add_argument('--accum', type=int, default=1,
+                   help='gradient-accumulation microbatch count: the '
+                        'step scans --accum microbatches of B/accum '
+                        '(trainers.py accum_steps) — the fixed-memory '
+                        'route to batches that OOM monolithically')
     args = p.parse_args()
 
     import os
@@ -134,7 +142,8 @@ def main():
 
     for b in args.batches:
         try:
-            bench_batch(b, args.img, args.iters, args.mixed)
+            bench_batch(b, args.img, args.iters, args.mixed,
+                        args.accum)
         except Exception as e:
             print(f'B={b} failed: {type(e).__name__}: '
                   f'{str(e)[:200]}', flush=True)

@@ -205,7 +205,7 @@ def test_trainer_auto_data_parallel(tmp_path, tiny_dataset):
 
     assert len(jax.devices()) == 8  # conftest virtual devices
 
-    def run(num_devices, name):
+    def run(num_devices, name, accum=1):
         opt = _base_opt(tmp_path, name, tiny_dataset)
         opt['model_type'] = 'VQGANModel'
         opt['datasets']['train']['seed'] = 123  # deterministic degradations
@@ -214,6 +214,7 @@ def test_trainer_auto_data_parallel(tmp_path, tiny_dataset):
         opt['network_d'] = {'type': 'VQGANDiscriminator', 'nc': 3,
                             'ndf': 32, 'n_layers': 2}
         opt['train']['net_d_start_iter'] = 0
+        opt['train']['accum_steps'] = accum
         # SGD-free comparison: losses only (one step)
         model = build_model(opt)
         ds = build_dataset(opt['datasets']['train'])
@@ -227,6 +228,10 @@ def test_trainer_auto_data_parallel(tmp_path, tiny_dataset):
     loss_multi, _ = run(8, 'dp_multi')
     loss_single, _ = run(1, 'dp_single')
     np.testing.assert_allclose(loss_multi, loss_single, rtol=1e-4)
+    # mesh x gradient accumulation compose: sharded microbatches, same
+    # full-batch loss (the generator path is exact under accumulation)
+    loss_accum, _ = run(2, 'dp_accum', accum=2)
+    np.testing.assert_allclose(loss_accum, loss_single, rtol=1e-4)
 
 
 @pytest.mark.slow
@@ -269,6 +274,155 @@ def test_joint_trains_mixed_precision_bf16(tmp_path, tiny_dataset):
                    for leaf in jax.tree.leaves(tree))
     assert all(leaf.dtype in (jnp.float32, jnp.int32)
                for leaf in jax.tree.leaves(model.state.opt_g))
+
+
+def test_accum_microbatches_helper_exact():
+    """_accum_microbatches averages per-microbatch grads to the exact
+    full-batch gradient of a mean-reduced loss (up to f32 assoc)."""
+    import jax
+    import jax.numpy as jnp
+    from codeformer_tpu.train.trainers import _accum_microbatches
+
+    w = jnp.linspace(-1, 1, 8)
+    x = jnp.arange(48, dtype=jnp.float32).reshape(6, 8) / 10
+    y = jnp.arange(6, dtype=jnp.float32)
+
+    def loss(w, xb, yb):
+        return jnp.mean((xb @ w - yb) ** 2)
+
+    g_full = jax.grad(loss)(w, x, y)
+    for n in (2, 3, 6):
+        carry, (g_acc, l_acc) = _accum_microbatches(
+            lambda c, mb, i: (c + 1, jax.value_and_grad(loss)(
+                w, mb['x'], mb['y'])[::-1]),
+            {'x': x, 'y': y}, n, carry=jnp.int32(0))
+        assert int(carry) == n  # carry chains through the scan
+        np.testing.assert_allclose(np.asarray(g_acc),
+                                   np.asarray(g_full), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(l_acc), float(loss(w, x, y)), rtol=1e-6)
+    # non-divisible batch -> loud error
+    with pytest.raises(ValueError, match='accum_steps'):
+        _accum_microbatches(
+            lambda c, mb, i: (c, jnp.mean(mb['x'])), {'x': x}, 4)
+
+
+def _params_match_fraction(tree_a, tree_b, atol=1e-6, rtol=1e-4):
+    """Fraction of param entries equal within tolerance. Step-1 Adam is
+    ~sign(grad)*lr, so entries whose grads are at float-noise level flip
+    sign under any reassociation — exact comparison is unsound, but a
+    wrong accumulation (dropped/double-counted microbatch) flips a large
+    share of signs everywhere."""
+    import jax
+    tot = ok = 0
+    for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+        a, b = np.asarray(a), np.asarray(b)
+        ok += np.sum(np.abs(a - b) <= atol + rtol * np.abs(b))
+        tot += a.size
+    return ok / tot
+
+
+def test_grad_accum_stage2_equivalence(tmp_path, tiny_dataset):
+    """accum_steps=2 must reproduce the full-batch stage-II update: the
+    accumulated grads of a mean-reduced loss average to the exact
+    full-batch gradient, so the logged losses match tightly and the
+    post-Adam params agree except at float-noise-gradient entries."""
+    import jax
+    from codeformer_tpu.data import build_dataset
+    from codeformer_tpu.data.loader import build_dataloader
+    from codeformer_tpu.train.trainers import build_model
+
+    def run(accum, name):
+        opt = _base_opt(tmp_path, name, tiny_dataset)
+        opt['model_type'] = 'CodeFormerIdxModel'
+        opt['network_g'] = dict(TINY_CF)
+        opt['network_vqgan'] = dict(TINY_VQGAN)
+        opt['datasets']['train']['seed'] = 7
+        opt['train']['accum_steps'] = accum
+        model = build_model(opt)
+        ds = build_dataset(opt['datasets']['train'])
+        loader = build_dataloader(ds, opt['datasets']['train'])
+        model.feed_data(_make_batches(loader, 1)[0])
+        model.optimize_parameters(1)
+        return model
+
+    m1 = run(1, 'accum1')
+    m2 = run(2, 'accum2')
+    # identical logged losses and identical updated params
+    for k, v in m1.log_dict.items():
+        np.testing.assert_allclose(m2.log_dict[k], v, rtol=2e-5,
+                                   atol=1e-6, err_msg=k)
+    frac = _params_match_fraction(m1.state.params_g, m2.state.params_g)
+    assert frac > 0.9, f'only {frac:.3f} of param entries match'
+
+
+@pytest.mark.slow
+def test_grad_accum_joint_gan(tmp_path, tiny_dataset):
+    """Stage-III joint GAN step under accum_steps=2: the generator
+    update (grads + adaptive d-weight from accumulated cotangents) must
+    match the full-batch step; the discriminator differs only through
+    its batchnorm microbatch statistics, so it is checked for finiteness
+    and the d losses for closeness."""
+    import jax
+    from codeformer_tpu.data import build_dataset
+    from codeformer_tpu.data.loader import build_dataloader
+    from codeformer_tpu.train.trainers import build_model
+
+    def run(accum, name):
+        opt = _base_opt(tmp_path, name, tiny_dataset)
+        opt['model_type'] = 'CodeFormerJointModel'
+        opt['network_g'] = dict(TINY_CF)
+        opt['network_vqgan'] = dict(TINY_VQGAN)
+        opt['network_d'] = {'type': 'VQGANDiscriminator', 'nc': 3,
+                            'ndf': 32, 'n_layers': 2}
+        opt['train']['scale_adaptive_gan_weight'] = 0.1
+        opt['train']['net_d_start_iter'] = 0
+        opt['train']['accum_steps'] = accum
+        ds_opt = opt['datasets']['train']
+        ds_opt['type'] = 'FFHQBlindJointDataset'
+        ds_opt['seed'] = 7
+        ds_opt.update(blur_sigma_large=[1, 15],
+                      downsample_range_large=[4, 16],
+                      noise_range_large=[0, 20],
+                      jpeg_range_large=[30, 80])
+        model = build_model(opt)
+        ds = build_dataset(ds_opt)
+        loader = build_dataloader(ds, ds_opt)
+        model.feed_data(_make_batches(loader, 1)[0])
+        model.optimize_parameters(1)
+        return model
+
+    m1 = run(1, 'jaccum1')
+    m2 = run(2, 'jaccum2')
+    assert all(np.isfinite(v) for v in m2.log_dict.values()), m2.log_dict
+    np.testing.assert_allclose(m2.log_dict['d_weight'],
+                               m1.log_dict['d_weight'], rtol=1e-3)
+    np.testing.assert_allclose(m2.log_dict['l_g_total'],
+                               m1.log_dict['l_g_total'], rtol=1e-4)
+    frac = _params_match_fraction(m1.state.params_g, m2.state.params_g)
+    assert frac > 0.9, f'only {frac:.3f} of param entries match'
+
+
+def test_grad_accum_rejects_bad_values(tmp_path, tiny_dataset):
+    from codeformer_tpu.train.trainers import build_model
+    opt = _base_opt(tmp_path, 'accum_bad', tiny_dataset)
+    opt['model_type'] = 'CodeFormerIdxModel'
+    opt['network_g'] = dict(TINY_CF)
+    opt['network_vqgan'] = dict(TINY_VQGAN)
+    opt['train']['accum_steps'] = 0
+    with pytest.raises(ValueError, match='accum_steps'):
+        build_model(opt)
+
+    # accum not dividing the batch: trace-time error on first step
+    from codeformer_tpu.data import build_dataset
+    from codeformer_tpu.data.loader import build_dataloader
+    opt['train']['accum_steps'] = 3  # batch_size_per_gpu = 2
+    model = build_model(opt)
+    ds = build_dataset(opt['datasets']['train'])
+    loader = build_dataloader(ds, opt['datasets']['train'])
+    model.feed_data(_make_batches(loader, 1)[0])
+    with pytest.raises(ValueError, match='accum_steps'):
+        model.optimize_parameters(1)
 
 
 def test_mixed_precision_rejects_unknown_value(tmp_path, tiny_dataset):
