@@ -34,6 +34,56 @@ def ema_update(ema_params, params, decay: float = 0.999):
         ema_params, params)
 
 
+def _split_microbatches(tree, n: int):
+    """Split every (B, ...) leaf into (n, B//n, ...) microbatches for
+    gradient accumulation. The split INTERLEAVES elements
+    (x.reshape(B//n, n).swapaxes(0, 1)) rather than slicing contiguous
+    blocks: under a data-parallel mesh the leading dim is sharded over
+    contiguous chunks, and the interleaved layout keeps every microbatch
+    evenly spread across the devices instead of parking whole
+    microbatches on single devices. Which elements share a microbatch is
+    irrelevant to the accumulated gradient of a mean-reduced loss."""
+    def split(x):
+        b = x.shape[0]
+        if b % n:
+            raise ValueError(
+                f'accum_steps={n} must divide the (padded) batch size, '
+                f'got batch={b}')
+        return jnp.swapaxes(x.reshape((b // n, n) + x.shape[1:]), 0, 1)
+    return jax.tree.map(split, tree)
+
+
+def _accum_microbatches(fn, batch, n: int, carry=None):
+    """Gradient-accumulation driver: lax.scan `fn` over n interleaved
+    microbatches of `batch`, averaging its outputs.
+
+    fn(carry, microbatch, i) -> (carry, out_tree); every out_tree leaf
+    is accumulated as a running mean in its own dtype. Gradients of
+    mean-reduced losses over equal-size microbatches therefore average
+    to the exact full-batch gradient, so one optimizer update after the
+    scan reproduces the large-batch step while only one microbatch of
+    activations is ever live (the reference has no accumulation — it
+    reaches global batch 32 as 8 GPUs x 4, options/*.yml; this reaches
+    it on any chip count). Returns (carry, mean_out_tree)."""
+    micro = _split_microbatches(batch, n)
+    mb0 = jax.tree.map(lambda x: x[0], micro)
+    out_sd = jax.eval_shape(lambda c, m: fn(c, m, jnp.int32(0))[1],
+                            carry, mb0)
+    acc0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), out_sd)
+
+    def body(state, xs):
+        c, acc = state
+        mb, i = xs
+        c, out = fn(c, mb, i)
+        acc = jax.tree.map(lambda a, o: a + o.astype(a.dtype) / n,
+                           acc, out)
+        return (c, acc), None
+
+    (carry, acc), _ = jax.lax.scan(
+        body, (carry, acc0), (micro, jnp.arange(n, dtype=jnp.int32)))
+    return carry, acc
+
+
 def make_codeformer_train_step(
     model, disc, opt_g: optax.GradientTransformation,
     opt_d: optax.GradientTransformation, *,
@@ -43,6 +93,7 @@ def make_codeformer_train_step(
     pixel_weight: float = 1.0,
     gan_weight: float = 1.0,
     ema_decay: float = 0.999,
+    accum_steps: int = 1,
 ) -> Callable[[GANTrainState, Dict[str, jax.Array]],
               Tuple[GANTrainState, Dict[str, jax.Array]]]:
     """Build a joint stage-III-style train step.
@@ -54,6 +105,12 @@ def make_codeformer_train_step(
     batch keys: 'in' (B,H,W,3) degraded, 'gt' (B,H,W,3) target,
                 'latent_gt' (B, T) int32 ground-truth code indices,
                 'quant_gt' (B, h, w, D) ground-truth quantized latents.
+
+    accum_steps > 1 scans that many interleaved microbatches and averages
+    the grads before the single optimizer update (_accum_microbatches) —
+    exact for the generator; the discriminator's batchnorm sees
+    microbatch statistics. Composes with mesh sharding: each device
+    accumulates over its local share of every microbatch.
     """
 
     def g_loss_fn(params_g, params_d, d_stats, batch):
@@ -87,25 +144,35 @@ def make_codeformer_train_step(
                                  {'l_d_real': l_real, 'l_d_fake': l_fake})
 
     def step(state: GANTrainState, batch):
-        (g_total, g_metrics), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.params_g, state.params_d,
-                                     state.d_stats, batch)
-        out = g_metrics.pop('out')
+        def micro(d_stats_chain, mb):
+            (g_total, g_metrics), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.params_g, state.params_d,
+                                         state.d_stats, mb)
+            out = g_metrics.pop('out')
+            (d_total, (new_stats, d_metrics)), d_grads = \
+                jax.value_and_grad(d_loss_fn, has_aux=True)(
+                    state.params_d, d_stats_chain, mb['gt'],
+                    jax.lax.stop_gradient(out))
+            scalars = {'l_g_total': g_total, 'l_d_total': d_total,
+                       **g_metrics, **d_metrics}
+            return new_stats, (g_grads, d_grads, scalars)
+
+        if accum_steps == 1:
+            d_stats, (g_grads, d_grads, metrics) = micro(state.d_stats,
+                                                         batch)
+        else:
+            d_stats, (g_grads, d_grads, metrics) = _accum_microbatches(
+                lambda c, mb, i: micro(c, mb), batch, accum_steps,
+                carry=state.d_stats)
+
         g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g,
                                               state.params_g)
         params_g = optax.apply_updates(state.params_g, g_updates)
         params_g_ema = ema_update(state.params_g_ema, params_g, ema_decay)
 
-        (d_total, (d_stats, d_metrics)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.params_d, state.d_stats,
-                                     batch['gt'],
-                                     jax.lax.stop_gradient(out))
         d_updates, opt_d_state = opt_d.update(d_grads, state.opt_d,
                                               state.params_d)
         params_d = optax.apply_updates(state.params_d, d_updates)
-
-        metrics = {'l_g_total': g_total, 'l_d_total': d_total,
-                   **g_metrics, **d_metrics}
         new_state = GANTrainState(
             step=state.step + 1, params_g=params_g,
             params_g_ema=params_g_ema, opt_g=opt_g_state,

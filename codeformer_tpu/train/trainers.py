@@ -29,7 +29,7 @@ from codeformer_tpu.utils.checkpoint import (load_checkpoint, load_params,
                                              save_params)
 from codeformer_tpu.utils.logger import get_root_logger
 from codeformer_tpu.utils.registry import MODEL_REGISTRY
-from .gan_step import ema_update
+from .gan_step import _accum_microbatches, _split_microbatches, ema_update
 from .losses import cross_entropy_loss, gan_loss, l1_loss
 from .optimizers import build_optimizer
 from .schedulers import build_schedule
@@ -42,54 +42,8 @@ def _get_leaf(tree, path: Tuple[str, ...]):
     return node
 
 
-def _split_microbatches(tree, n: int):
-    """Split every (B, ...) leaf into (n, B//n, ...) microbatches for
-    gradient accumulation. The split INTERLEAVES elements
-    (x.reshape(B//n, n).swapaxes(0, 1)) rather than slicing contiguous
-    blocks: under a data-parallel mesh the leading dim is sharded over
-    contiguous chunks, and the interleaved layout keeps every microbatch
-    evenly spread across the devices instead of parking whole
-    microbatches on single devices. Which elements share a microbatch is
-    irrelevant to the accumulated gradient of a mean-reduced loss."""
-    def split(x):
-        b = x.shape[0]
-        if b % n:
-            raise ValueError(
-                f'accum_steps={n} must divide the (padded) batch size, '
-                f'got batch={b}')
-        return jnp.swapaxes(x.reshape((b // n, n) + x.shape[1:]), 0, 1)
-    return jax.tree.map(split, tree)
-
-
-def _accum_microbatches(fn, batch, n: int, carry=None):
-    """Gradient-accumulation driver: lax.scan `fn` over n interleaved
-    microbatches of `batch`, averaging its outputs.
-
-    fn(carry, microbatch, i) -> (carry, out_tree); every out_tree leaf
-    is accumulated as a running mean in its own dtype. Gradients of
-    mean-reduced losses over equal-size microbatches therefore average
-    to the exact full-batch gradient, so one optimizer update after the
-    scan reproduces the large-batch step while only one microbatch of
-    activations is ever live (the reference has no accumulation — it
-    reaches global batch 32 as 8 GPUs x 4, options/*.yml; this reaches
-    it on any chip count). Returns (carry, mean_out_tree)."""
-    micro = _split_microbatches(batch, n)
-    mb0 = jax.tree.map(lambda x: x[0], micro)
-    out_sd = jax.eval_shape(lambda c, m: fn(c, m, jnp.int32(0))[1],
-                            carry, mb0)
-    acc0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), out_sd)
-
-    def body(state, xs):
-        c, acc = state
-        mb, i = xs
-        c, out = fn(c, mb, i)
-        acc = jax.tree.map(lambda a, o: a + o.astype(a.dtype) / n,
-                           acc, out)
-        return (c, acc), None
-
-    (carry, acc), _ = jax.lax.scan(
-        body, (carry, acc0), (micro, jnp.arange(n, dtype=jnp.int32)))
-    return carry, acc
+# gradient-accumulation machinery lives beside the pure step functions
+# (gan_step.py); re-exported here for the trainers and their tests.
 
 
 def _l2norm(x):

@@ -83,3 +83,16 @@ def test_train_step_dp_matches_single_device():
     for a, b in zip(l1, l4):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+    # accum_steps=2 on the same mesh: the scanned microbatch grads
+    # average to the exact full-batch gradient, so the SGD params match
+    # the monolithic step too (dp x accumulation composition)
+    step_acc = make_codeformer_train_step(model, disc, opt_g, opt_d,
+                                          accum_steps=2)
+    state_a = init_fn(jax.random.PRNGKey(0), batch)
+    new_a, m_a = jax.jit(step_acc)(state_a, jax.device_put(batch, bshard))
+    np.testing.assert_allclose(float(m_a['l_g_total']),
+                               float(m1['l_g_total']), rtol=1e-5)
+    for a, b in zip(l1, jax.tree.leaves(new_a.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
