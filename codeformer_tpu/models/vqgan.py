@@ -140,7 +140,7 @@ class GumbelQuantizer(nn.Module):
 
 
 def _build_encoder_blocks(nf, emb_dim, ch_mult, num_res_blocks, resolution,
-                          attn_resolutions, dtype):
+                          attn_resolutions, dtype, remat=False):
     """Build encoder block list + {feature-size: last-ResBlock-index} taps.
 
     Ordering matches vqgan_arch.py:241-266 exactly (checkpoint parity).
@@ -157,7 +157,8 @@ def _build_encoder_blocks(nf, emb_dim, ch_mult, num_res_blocks, resolution,
         block_in = nf * in_ch_mult[i]
         block_out = nf * ch_mult[i]
         for _ in range(num_res_blocks):
-            blocks.append(ResBlock(block_in, block_out, dtype=dtype))
+            blocks.append(ResBlock(block_in, block_out, dtype=dtype,
+                                   remat=remat))
             block_in = block_out
             taps[str(curr_res)] = len(blocks) - 1
             if curr_res in attn_resolutions:
@@ -165,16 +166,17 @@ def _build_encoder_blocks(nf, emb_dim, ch_mult, num_res_blocks, resolution,
         if i != len(ch_mult) - 1:
             blocks.append(Downsample(block_in, dtype=dtype))
             curr_res //= 2
-    blocks.append(ResBlock(block_in, block_in, dtype=dtype))
+    blocks.append(ResBlock(block_in, block_in, dtype=dtype, remat=remat))
     blocks.append(AttnBlock(block_in, dtype=dtype))
-    blocks.append(ResBlock(block_in, block_in, dtype=dtype))
+    blocks.append(ResBlock(block_in, block_in, dtype=dtype, remat=remat))
     blocks.append(GroupNorm32(dtype=dtype))
     blocks.append(nn.Conv(emb_dim, (3, 3), dtype=dtype))
     return blocks, taps
 
 
 def _build_generator_blocks(nf, emb_dim, ch_mult, num_res_blocks, resolution,
-                            attn_resolutions, out_channels, dtype):
+                            attn_resolutions, out_channels, dtype,
+                            remat=False):
     """Build generator block list + fuse-point taps.
 
     Ordering matches vqgan_arch.py:290-316. Tap rule reproducing the
@@ -188,15 +190,16 @@ def _build_generator_blocks(nf, emb_dim, ch_mult, num_res_blocks, resolution,
 
     blocks = [nn.Conv(block_in, (3, 3), dtype=dtype)]
     taps: Dict[str, int] = {}
-    blocks.append(ResBlock(block_in, block_in, dtype=dtype))
+    blocks.append(ResBlock(block_in, block_in, dtype=dtype, remat=remat))
     blocks.append(AttnBlock(block_in, dtype=dtype))
-    blocks.append(ResBlock(block_in, block_in, dtype=dtype))
+    blocks.append(ResBlock(block_in, block_in, dtype=dtype, remat=remat))
 
     for i in reversed(range(num_resolutions)):
         block_out = nf * ch_mult[i]
         first_in_stage = True
         for _ in range(num_res_blocks):
-            blocks.append(ResBlock(block_in, block_out, dtype=dtype))
+            blocks.append(ResBlock(block_in, block_out, dtype=dtype,
+                                   remat=remat))
             block_in = block_out
             if first_in_stage or curr_res in attn_resolutions:
                 taps[str(curr_res)] = len(blocks) - 1
@@ -221,11 +224,13 @@ class Encoder(nn.Module):
     resolution: int = 512
     attn_resolutions: Sequence[int] = (16,)
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize ResBlocks under grad (training)
 
     def setup(self):
         self.blocks, self.tap_by_size = _build_encoder_blocks(
             self.nf, self.emb_dim, self.ch_mult, self.num_res_blocks,
-            self.resolution, tuple(self.attn_resolutions), self.dtype)
+            self.resolution, tuple(self.attn_resolutions), self.dtype,
+            remat=self.remat)
 
     def __call__(self, x: jax.Array,
                  tap_indices: Sequence[int] = ()) -> Tuple[jax.Array, Dict]:
@@ -268,12 +273,13 @@ class Generator(nn.Module):
     attn_resolutions: Sequence[int] = (16,)
     out_channels: int = 3
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize ResBlocks under grad (training)
 
     def setup(self):
         self.blocks, self.tap_by_size = _build_generator_blocks(
             self.nf, self.emb_dim, self.ch_mult, self.num_res_blocks,
             self.resolution, tuple(self.attn_resolutions), self.out_channels,
-            self.dtype)
+            self.dtype, remat=self.remat)
 
     def __call__(self, x: jax.Array, fuse_fns: Optional[Dict] = None) -> jax.Array:
         fuse_fns = fuse_fns or {}
@@ -308,6 +314,11 @@ class VQAutoEncoder(nn.Module):
     gumbel_straight_through: bool = False
     gumbel_kl_weight: float = 1e-8
     dtype: Any = jnp.float32
+    # remat=True: every ResBlock saves only its input for backward and
+    # recomputes its interior in the backward pass (see nn/blocks.py).
+    # Training-memory knob (trainers inject it from `train: remat: true`);
+    # inference is unaffected.
+    remat: bool = False
 
     def setup(self):
         self._build_backbone()
@@ -317,7 +328,8 @@ class VQAutoEncoder(nn.Module):
             in_channels=3, nf=self.nf, emb_dim=self.emb_dim,
             ch_mult=tuple(self.ch_mult), num_res_blocks=self.res_blocks,
             resolution=self.img_size,
-            attn_resolutions=tuple(self.attn_resolutions), dtype=self.dtype)
+            attn_resolutions=tuple(self.attn_resolutions), dtype=self.dtype,
+            remat=self.remat)
         if self.quantizer == 'nearest':
             self.quantize = VectorQuantizer(
                 self.codebook_size, self.emb_dim, self.beta, dtype=self.dtype)
@@ -331,7 +343,8 @@ class VQAutoEncoder(nn.Module):
         self.generator = Generator(
             nf=self.nf, emb_dim=self.emb_dim, ch_mult=tuple(self.ch_mult),
             num_res_blocks=self.res_blocks, resolution=self.img_size,
-            attn_resolutions=tuple(self.attn_resolutions), dtype=self.dtype)
+            attn_resolutions=tuple(self.attn_resolutions), dtype=self.dtype,
+            remat=self.remat)
 
     def __call__(self, x: jax.Array, **quant_kwargs):
         x, _ = self.encoder(x)

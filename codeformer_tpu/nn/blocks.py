@@ -106,6 +106,14 @@ class ResBlock(nn.Module):
     in_channels: int
     out_channels: Optional[int] = None
     dtype: Any = jnp.float32
+    # remat=True rematerializes the block under differentiation: only the
+    # block INPUT is saved as a backward residual and the five
+    # intra-block activations (2x norm, 2x silu, conv1 out — each as
+    # large as the input) are recomputed during the backward pass.
+    # ~6x less activation HBM for ~1/3 extra forward FLOPs on the
+    # rematerialized stages; forward-only use is unaffected. Parameter
+    # structure is identical either way (lifted transform keeps scopes).
+    remat: bool = False
 
     def setup(self):
         out_ch = self.out_channels or self.in_channels
@@ -116,7 +124,7 @@ class ResBlock(nn.Module):
         if self.in_channels != out_ch:
             self.conv_out = nn.Conv(out_ch, (1, 1), dtype=self.dtype)
 
-    def __call__(self, x_in: jax.Array) -> jax.Array:
+    def _forward(self, x_in: jax.Array) -> jax.Array:
         x = self.norm1(x_in)
         x = nn.silu(x)
         x = self.conv1(x)
@@ -127,6 +135,14 @@ class ResBlock(nn.Module):
         if self.in_channels != out_ch:
             x_in = self.conv_out(x_in)
         return x + x_in
+
+    def __call__(self, x_in: jax.Array) -> jax.Array:
+        if self.remat:
+            # prevent_cse=False: every train step runs under jit, where
+            # CSE across the remat boundary cannot occur
+            return nn.remat(ResBlock._forward,
+                            prevent_cse=False)(self, x_in)
+        return self._forward(x_in)
 
 
 # --------------------------------------------------------------------

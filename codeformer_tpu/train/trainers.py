@@ -105,6 +105,14 @@ class BaseTrainer:
         if self.accum_steps < 1:
             raise ValueError(
                 f'accum_steps must be >= 1, got {self.accum_steps}')
+        # remat: activation rematerialization — ResBlocks save only their
+        # inputs for backward and recompute interiors (models/vqgan.py
+        # `remat`), and the perceptual loss recomputes its VGG taps
+        # instead of holding them. ~1/3 extra forward FLOPs on the
+        # rematerialized pieces for a several-x cut in the activation
+        # watermark the 512^2 training graph OOMs on. Exact (same grads,
+        # same param tree); off by default.
+        self.remat = bool(self.train_opt.get('remat', False))
         self._setup_mesh()
         self._build()
         if self.mesh is not None:
@@ -113,12 +121,36 @@ class BaseTrainer:
                 self.state, NamedSharding(self.mesh, P()))
 
     def _net(self, net_opt: Dict):
-        """build_network with the trainer's compute dtype injected
-        (explicit YAML `dtype` keys win)."""
+        """build_network with the trainer's compute dtype (and, for archs
+        that support it, the remat flag) injected — explicit YAML keys
+        win."""
         net_opt = dict(net_opt)
         if self.compute_dtype != jnp.float32:
             net_opt.setdefault('dtype', self.compute_dtype)
+        if self.remat:
+            import dataclasses
+            from codeformer_tpu.utils.registry import ARCH_REGISTRY
+            cls = ARCH_REGISTRY.get(net_opt['type'])
+            if any(f.name == 'remat' for f in dataclasses.fields(cls)):
+                net_opt.setdefault('remat', True)
         return build_network(net_opt)
+
+    def _build_perceptual(self):
+        """cri_perceptual from train: perceptual_opt (None if absent).
+        Under remat the whole loss is jax.checkpoint'd: the backward
+        keeps only (out, gt) and re-runs the VGG tap pyramid — at 512^2
+        those taps (64ch@512^2, 128@256^2, ...) rival the generator's own
+        activations."""
+        self.has_perceptual = 'perceptual_opt' in self.train_opt
+        if not self.has_perceptual:
+            self.cri_perceptual = None
+            return
+        from .perceptual import build_perceptual_loss
+        self.cri_perceptual = build_perceptual_loss(
+            self.train_opt['perceptual_opt'], dtype=self.compute_dtype)
+        if self.remat:
+            self.cri_perceptual = jax.checkpoint(self.cri_perceptual,
+                                                 prevent_cse=False)
 
     @staticmethod
     def _jit_step(fn):
@@ -258,14 +290,7 @@ class SRModel(BaseTrainer):
     def _build(self):
         opt = self.opt
         self.net_g = self._net(opt['network_g'])
-        self.has_perceptual = 'perceptual_opt' in self.train_opt
-        if self.has_perceptual:
-            from .perceptual import build_perceptual_loss
-            self.cri_perceptual = build_perceptual_loss(
-                self.train_opt['perceptual_opt'],
-                dtype=self.compute_dtype)
-        else:
-            self.cri_perceptual = None
+        self._build_perceptual()
         pix = dict(self.train_opt.get('pixel_opt')
                    or {'type': 'L1Loss', 'loss_weight': 1.0})
         self.pixel_weight = pix.get('loss_weight', 1.0)
@@ -354,14 +379,7 @@ class VQGANModel(BaseTrainer):
         self.net_d_start_iter = int(self.train_opt.get('net_d_start_iter',
                                                        0))
         self.disc_weight = self.train_opt.get('disc_weight', 0.8)
-        self.has_perceptual = 'perceptual_opt' in self.train_opt
-        if self.has_perceptual:
-            from .perceptual import build_perceptual_loss
-            self.cri_perceptual = build_perceptual_loss(
-                self.train_opt['perceptual_opt'],
-                dtype=self.compute_dtype)
-        else:
-            self.cri_perceptual = None
+        self._build_perceptual()
 
         self.schedule_g = build_schedule(
             self.train_opt, self.train_opt['optim_g']['lr'])
@@ -687,14 +705,7 @@ class CodeFormerJointModel(BaseTrainer):
             'scale_adaptive_gan_weight', 0.8)
         self.net_d_start_iter = int(self.train_opt.get('net_d_start_iter',
                                                        0))
-        self.has_perceptual = 'perceptual_opt' in self.train_opt
-        if self.has_perceptual:
-            from .perceptual import build_perceptual_loss
-            self.cri_perceptual = build_perceptual_loss(
-                self.train_opt['perceptual_opt'],
-                dtype=self.compute_dtype)
-        else:
-            self.cri_perceptual = None
+        self._build_perceptual()
 
         self.generate_idx_gt = 'network_vqgan' in opt
         if self.generate_idx_gt:

@@ -24,7 +24,7 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def build_opt(batch: int, img: int = 512, mixed: str = None,
-              accum: int = 1):
+              accum: int = 1, remat: bool = False):
     connect = [s for s in ('32', '64', '128', '256') if int(s) < img]
     return {
         'name': 'bench_train_step', 'manual_seed': 0, 'num_devices': 1,
@@ -48,6 +48,7 @@ def build_opt(batch: int, img: int = 512, mixed: str = None,
         'network_d': {'type': 'VQGANDiscriminator', 'nc': 3, 'ndf': 64},
         'train': {
             'accum_steps': accum,
+            'remat': remat,
             'total_iter': 150000, 'warmup_iter': -1, 'ema_decay': 0.997,
             'use_hq_feat_loss': True, 'feat_loss_weight': 1.0,
             'cross_entropy_loss': True, 'entropy_loss_weight': 0.5,
@@ -90,11 +91,12 @@ def _patch_random_vgg():
 
 
 def bench_batch(batch: int, img: int, iters: int,
-                mixed: str = None, accum: int = 1) -> float:
+                mixed: str = None, accum: int = 1,
+                remat: bool = False) -> float:
     import jax
     from codeformer_tpu.train.trainers import build_model
 
-    model = build_model(build_opt(batch, img, mixed, accum))
+    model = build_model(build_opt(batch, img, mixed, accum, remat))
     rng = np.random.default_rng(0)
     feed = {
         'in': rng.uniform(-1, 1, (batch, img, img, 3)).astype(np.float32),
@@ -107,7 +109,8 @@ def bench_batch(batch: int, img: int, iters: int,
     for i in range(3, 3 + iters):
         model.optimize_parameters(i)
     dt = (time.perf_counter() - t0) / iters
-    tag = f'B={batch}' + (f' accum={accum}' if accum > 1 else '')
+    tag = (f'B={batch}' + (f' accum={accum}' if accum > 1 else '')
+           + (' remat' if remat else ''))
     print(f'{tag}: {dt * 1000:8.1f} ms/iter '
           f'({batch / dt:6.2f} faces/s trained; ~23 ms of that is '
           f'axon-tunnel log fetch a real host would not pay)',
@@ -127,6 +130,11 @@ def main():
                         'step scans --accum microbatches of B/accum '
                         '(trainers.py accum_steps) — the fixed-memory '
                         'route to batches that OOM monolithically')
+    p.add_argument('--remat', action='store_true',
+                   help='activation rematerialization (train: remat): '
+                        'ResBlocks + perceptual taps recompute in '
+                        'backward — exact grads, ~1/3 extra fwd FLOPs, '
+                        'several-x lower activation watermark')
     args = p.parse_args()
 
     import os
@@ -143,7 +151,7 @@ def main():
     for b in args.batches:
         try:
             bench_batch(b, args.img, args.iters, args.mixed,
-                        args.accum)
+                        args.accum, args.remat)
         except Exception as e:
             print(f'B={b} failed: {type(e).__name__}: '
                   f'{str(e)[:200]}', flush=True)

@@ -111,6 +111,17 @@ def test_lpips_matches_torch_oracle(weights_dir):
     # identity
     assert abs(float(loss(x, x))) < 1e-6
 
+    # trainers wrap the loss in jax.checkpoint under `train: remat: true`
+    # (BaseTrainer._build_perceptual): same value, same input gradient —
+    # only the backward's residual set changes
+    import jax
+    ck = jax.checkpoint(loss, prevent_cse=False)
+    g_plain = jax.grad(lambda a: loss(a, gt))(x)
+    g_ck = jax.grad(lambda a: ck(a, gt))(x)
+    np.testing.assert_allclose(float(ck(x, gt)), got, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_ck), np.asarray(g_plain),
+                               rtol=2e-5, atol=1e-7)
+
 
 def test_lpips_degraded_fallbacks(tmp_path, monkeypatch, caplog):
     import logging

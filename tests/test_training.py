@@ -434,3 +434,39 @@ def test_mixed_precision_rejects_unknown_value(tmp_path, tiny_dataset):
     opt['network_vqgan'] = dict(TINY_VQGAN)
     with pytest.raises(ValueError, match='mixed_precision'):
         build_model(opt)
+
+
+def test_remat_stage2_equivalence(tmp_path, tiny_dataset):
+    """remat: true must be a pure memory knob: rematerialized ResBlocks
+    and the checkpointed perceptual pipeline recompute the SAME ops the
+    plain backward saved, so one optimizer step from the same seed gives
+    the same losses and (up to float-noise-gradient entries under Adam
+    step 1) the same params — and an identical param tree structure."""
+    import jax
+    from codeformer_tpu.data import build_dataset
+    from codeformer_tpu.data.loader import build_dataloader
+    from codeformer_tpu.train.trainers import build_model
+
+    def run(remat, name):
+        opt = _base_opt(tmp_path, name, tiny_dataset)
+        opt['model_type'] = 'CodeFormerIdxModel'
+        opt['network_g'] = dict(TINY_CF)
+        opt['network_vqgan'] = dict(TINY_VQGAN)
+        opt['datasets']['train']['seed'] = 7
+        opt['train']['remat'] = remat
+        model = build_model(opt)
+        ds = build_dataset(opt['datasets']['train'])
+        loader = build_dataloader(ds, opt['datasets']['train'])
+        model.feed_data(_make_batches(loader, 1)[0])
+        model.optimize_parameters(1)
+        return model
+
+    m0 = run(False, 'remat0')
+    m1 = run(True, 'remat1')
+    assert (jax.tree_util.tree_structure(m0.state.params_g)
+            == jax.tree_util.tree_structure(m1.state.params_g))
+    for k, v in m0.log_dict.items():
+        np.testing.assert_allclose(m1.log_dict[k], v, rtol=2e-5,
+                                   atol=1e-6, err_msg=k)
+    frac = _params_match_fraction(m0.state.params_g, m1.state.params_g)
+    assert frac > 0.9, f'only {frac:.3f} of param entries match'
