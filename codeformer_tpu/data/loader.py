@@ -77,33 +77,72 @@ class DataLoader:
         q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def epoch_batches(epoch: int):
+            self.sampler.set_epoch(epoch)
+            batch_idx = []
+            for idx in self.sampler:
+                batch_idx.append(idx)
+                if len(batch_idx) == self.batch_size:
+                    yield batch_idx
+                    batch_idx = []
+            if batch_idx and not self.drop_last:
+                yield batch_idx
+
+        def put(item) -> bool:
+            # never block forever: an abandoned consumer sets `stop`
+            # without draining, and the produce thread must still reach
+            # its shutdown
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
+            # Backpressure-bounded pipeline: at most `prefetch + 1`
+            # batches are in flight in the pool at any time. Submitting
+            # the whole epoch up front (the obvious pool.map over the
+            # sampler) is wrong twice over: the pool races arbitrarily
+            # far ahead of the consumer (completed-but-unconsumed
+            # results grow without bound — an epoch is
+            # len(dataset) * enlarge_ratio images), and the leftover
+            # queued work keeps the worker threads alive at interpreter
+            # exit (concurrent.futures joins them), stalling shutdown by
+            # however much of the epoch was still queued.
             pool = ThreadPoolExecutor(self.num_workers)
+            from collections import deque
+            inflight: 'deque' = deque()
+            max_inflight = self.prefetch + 1
+
+            def drain_one() -> bool:
+                futs = inflight.popleft()
+                try:
+                    batch = _stack([f.result() for f in futs])
+                except BaseException as e:  # propagate to the consumer
+                    return not put(e)
+                return not put(batch)
+
             epoch = 0
             try:
                 while not stop.is_set():
-                    self.sampler.set_epoch(epoch)
-                    batch_idx = []
-                    futures = []
-                    for idx in self.sampler:
-                        batch_idx.append(idx)
-                        if len(batch_idx) == self.batch_size:
-                            futures.append(pool.map(
-                                self.dataset.__getitem__, batch_idx))
-                            batch_idx = []
-                    if batch_idx and not self.drop_last:
-                        futures.append(pool.map(
-                            self.dataset.__getitem__, batch_idx))
-                    for fut in futures:
-                        if stop.is_set():
+                    for bidx in epoch_batches(epoch):
+                        inflight.append([
+                            pool.submit(self.dataset.__getitem__, i)
+                            for i in bidx])
+                        if len(inflight) >= max_inflight:
+                            if drain_one():
+                                return
+                    while inflight:
+                        if drain_one():
                             return
-                        q.put(_stack(list(fut)))
                     if not self.loop:
                         break
                     epoch += 1
             finally:
-                q.put(None)
-                pool.shutdown(wait=False)
+                put(None)
+                pool.shutdown(wait=False, cancel_futures=True)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -112,6 +151,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

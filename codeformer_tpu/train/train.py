@@ -28,6 +28,12 @@ def _honor_cpu_platform_env():
         import jax
         jax.config.update('jax_platforms', 'cpu')
         jax.config.update('jax_platform_name', 'cpu')
+    # persistent compilation cache: the 512^2 train-step compile takes
+    # tens of minutes on a tunneled TPU — restarts and resumes must not
+    # pay it again (override location with JAX_CACHE_DIR)
+    import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ.get('JAX_CACHE_DIR', '/tmp/jax_cache'))
 
 
 def parse_options(root_path: str, args=None):
