@@ -46,7 +46,8 @@ def test_aligned_cli_end_to_end(tmp_path):
     """Drive the real CLI main() on two fixture faces with random weights
     (the full 512 graph on CPU — the slowest test in the suite)."""
     from codeformer_tpu.cli.inference_codeformer import main
-    src = '/root/reference/inputs/cropped_faces'
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'inputs', 'cropped_faces')
     in_dir = tmp_path / 'in'
     in_dir.mkdir()
     names = sorted(os.listdir(src))[:2]
