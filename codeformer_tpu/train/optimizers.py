@@ -28,11 +28,16 @@ def build_optimizer(train_opt_optim: dict, schedule,
         optax.scale_by_learning_rate(schedule),
     )
     if fix_modules:
-        def mask_fn(params):
+        # optax.masked alone is NOT a freeze: updates for masked-out
+        # leaves pass through as the raw gradient, which apply_updates
+        # would then ADD to the "frozen" params. Frozen leaves must get
+        # a hard zero update (torch requires_grad=False semantics).
+        def label_fn(params):
             import jax
-            def trainable(path, _):
+            def label(path, _):
                 top = str(getattr(path[0], 'key', path[0]))
-                return top not in fix_modules
-            return jax.tree_util.tree_map_with_path(trainable, params)
-        tx = optax.masked(tx, mask_fn)
+                return 'frozen' if top in fix_modules else 'train'
+            return jax.tree_util.tree_map_with_path(label, params)
+        tx = optax.multi_transform(
+            {'train': tx, 'frozen': optax.set_to_zero()}, label_fn)
     return tx

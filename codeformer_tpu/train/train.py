@@ -12,9 +12,6 @@ import argparse
 import os
 import os.path as osp
 import time
-from typing import Dict
-
-import numpy as np
 
 
 def _honor_cpu_platform_env():
@@ -182,7 +179,8 @@ def train_pipeline(root_path: str, args=None):
             model.save(epoch, current_iter)
 
         if val_loader is not None and current_iter % val_freq == 0:
-            _validate(model, val_loader, opt, current_iter, logger)
+            model.validation(val_loader, current_iter, tb_logger,
+                             save_img=val_opt.get('save_img', False))
         data_time = time.time()
 
     logger.info('End of training.')
@@ -191,25 +189,6 @@ def train_pipeline(root_path: str, args=None):
     return model
 
 
-def _validate(model, val_loader, opt, current_iter, logger):
-    """Minimal PSNR/SSIM validation over the val loader using EMA params
-    (codeformer_model.py:250-305 analog)."""
-    import jax.numpy as jnp
-    from codeformer_tpu.metrics import calculate_metric
-    from codeformer_tpu.utils.img_util import batch_to_imgs
-
-    metrics_opt = (opt.get('val') or {}).get('metrics') or {}
-    results: Dict[str, list] = {k: [] for k in metrics_opt}
-    net = model.net_g
-    for batch in val_loader:
-        lq = jnp.asarray(batch.get('lq', batch.get('in')))
-        out = net.apply({'params': model.state.params_g_ema}, lq, 1.0)
-        out = out[0] if isinstance(out, tuple) else out
-        sr = batch_to_imgs(np.asarray(out))[0]
-        gt = batch_to_imgs(batch['gt'])[0]
-        for name, m_opt in metrics_opt.items():
-            results[name].append(
-                calculate_metric({'img': sr, 'img2': gt}, m_opt))
-    for name, vals in results.items():
-        logger.info(f'Validation {name}: {np.mean(vals):.4f} '
-                    f'@ iter {current_iter}')
+# validation lives on the trainers now (BaseTrainer.validation: EMA
+# test() forward + per-image visualization dumps + metric averaging,
+# the sr_model.py:120-194 surface)

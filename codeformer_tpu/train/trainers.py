@@ -42,6 +42,38 @@ def _get_leaf(tree, path: Tuple[str, ...]):
     return node
 
 
+def _expand_fix_keys(fix_modules, params) -> frozenset:
+    """Map reference fix_modules names (attributes of the torch arch,
+    codeformer_arch.py:172-175) onto top-level param-tree keys.
+    'transformer' — accepted by the reference joint model's config check
+    (codeformer_joint_model.py:181) — covers the whole token path."""
+    keys = set()
+    for m in fix_modules:
+        if m == 'transformer':
+            keys |= {k for k in params
+                     if k.startswith('ft_layers_')
+                     or k in ('feat_emb', 'position_emb',
+                              'idx_pred_norm', 'idx_pred_proj')}
+        else:
+            keys |= {k for k in params if k == m}
+    return frozenset(keys)
+
+
+def _split_params(params: Dict, fix_keys) -> Tuple[Dict, Dict]:
+    """(trainable, frozen) split by top-level key.
+
+    The loss closures differentiate ONLY the trainable subtree — the
+    frozen modules enter as non-differentiated arguments (torch
+    requires_grad=False, codeformer_arch.py:172-175). Besides being the
+    only correct freeze (raw grads must never reach apply_updates), this
+    lets XLA dead-code-eliminate every backward-weight convolution of the
+    frozen generator — a third of its backward FLOPs — and shrinks the
+    Adam state to the trainable leaves."""
+    train = {k: v for k, v in params.items() if k not in fix_keys}
+    frozen = {k: v for k, v in params.items() if k in fix_keys}
+    return train, frozen
+
+
 # gradient-accumulation machinery lives beside the pure step functions
 # (gan_step.py); re-exported here for the trainers and their tests.
 
@@ -72,10 +104,21 @@ class BaseTrainer:
     Subclasses define _build() (nets + optimizers + jitted steps) and
     optimize_parameters(current_iter)."""
 
+    # Keys each trainer reads from the train: block; anything else in the
+    # YAML is warned about at build time so no knob is silently ignored.
+    # 'use_adaptive_weight' is carried by the reference's shipped stage-2/
+    # inpainting configs but read by NO reference model either (verified:
+    # no hit in basicsr/) — known-dead, accepted without warning.
+    KNOWN_TRAIN_KEYS = frozenset({
+        'total_iter', 'warmup_iter', 'ema_decay', 'optim_g', 'optim_d',
+        'scheduler', 'accum_steps', 'remat', 'mixed_precision',
+        'use_adaptive_weight'})
+
     def __init__(self, opt: Dict):
         self.opt = opt
         self.logger = get_root_logger()
-        self.log_dict: Dict[str, float] = {}
+        self._log_metrics: Dict[str, Any] = {}
+        self._log_cache: Optional[Dict[str, float]] = None
         self.train_opt = opt.get('train', {})
         self.ema_decay = self.train_opt.get('ema_decay', 0.0)
         # mixed_precision: bf16 — activations/compute in bfloat16,
@@ -115,6 +158,12 @@ class BaseTrainer:
         self.remat = bool(self.train_opt.get('remat', False))
         self._setup_mesh()
         self._build()
+        unknown = set(self.train_opt) - self.KNOWN_TRAIN_KEYS
+        if unknown:
+            self.logger.warning(
+                f'train: keys IGNORED by {type(self).__name__}: '
+                f'{sorted(unknown)} — check for typos or unsupported '
+                f'options')
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self.state = jax.device_put(
@@ -236,8 +285,16 @@ class BaseTrainer:
     def _stage_batch(self, data: Dict) -> Dict:
         """Transfer a host batch to device; with a mesh, shard it on the
         data axis (the per-device split DDP gets from its sampler).
-        Batches whose leading dim does not divide the mesh are padded by
-        repetition. Also the `stage` hook of data.loader.DevicePrefetcher
+        Batches whose leading dim does not divide the mesh are tiled by
+        whole-batch repetition ONLY when every sample is duplicated the
+        same number of times (b=2 on 8 devices -> 4 copies each: the
+        mean-reduced losses and gradients are bit-identical to the
+        unpadded batch). Uneven repetition is an error — it would enter
+        some samples into the loss mean twice as often as others, a
+        silent gradient bias the reference avoids by construction
+        (EnlargedSampler hands every rank the same count,
+        data_sampler.py:29-42; our loader drops ragged tails the same
+        way). Also the `stage` hook of data.loader.DevicePrefetcher
         (the CUDAPrefetcher analog): device_put is async, so staging one
         batch ahead overlaps H2D with the running step."""
         if any(isinstance(v, jax.Array) for v in data.values()):
@@ -251,8 +308,17 @@ class BaseTrainer:
             b = next(iter(batch.values())).shape[0]
             if b % n:
                 target = -(-b // n) * n
-                reps = -(-target // b)
-                batch = {k: np.concatenate([v] * reps)[:target]
+                if target % b:
+                    raise ValueError(
+                        f'training batch size {b} cannot be evenly '
+                        f'replicated onto the data-parallel mesh '
+                        f'({n} devices): uneven repetition-padding '
+                        f'would bias gradients (some samples would '
+                        f'enter the loss mean more often than others). '
+                        f'Set batch_size_per_gpu so that batch divides '
+                        f'the device count (or vice versa), or '
+                        f'num_devices: 1.')
+                batch = {k: np.concatenate([v] * (target // b))
                          for k, v in batch.items()}
             return {
                 k: jax.device_put(
@@ -266,11 +332,154 @@ class BaseTrainer:
         staged)."""
         self.batch = self._stage_batch(data)
 
+    def _setup_pixel(self):
+        """cri_pix from train: pixel_opt (sr_model.py:35-40)."""
+        pix = dict(self.train_opt.get('pixel_opt')
+                   or {'type': 'L1Loss', 'loss_weight': 1.0})
+        self.pixel_weight = pix.get('loss_weight', 1.0)
+        self.pixel_type = pix.get('type', 'L1Loss')
+
+    def _pixel_loss(self, out, gt):
+        from .losses import charbonnier_loss, mse_loss
+        if self.pixel_type == 'MSELoss':
+            return mse_loss(out, gt, loss_weight=self.pixel_weight)
+        if self.pixel_type == 'CharbonnierLoss':
+            return charbonnier_loss(out, gt, loss_weight=self.pixel_weight)
+        return l1_loss(out, gt, loss_weight=self.pixel_weight)
+
+    def _setup_gan(self):
+        """cri_gan from train: gan_opt — type and generator-side
+        loss_weight (losses.py:285-387; base trainers hardwired hinge
+        before, silently ignoring the YAML)."""
+        gan = dict(self.train_opt.get('gan_opt')
+                   or {'gan_type': 'hinge', 'loss_weight': 1.0})
+        self.gan_type = gan.get('gan_type', 'hinge')
+        self.gan_weight = float(gan.get('loss_weight', 1.0))
+
+    def _gan_loss(self, pred, target_is_real, is_disc):
+        return gan_loss(pred, target_is_real, self.gan_type,
+                        is_disc=is_disc, loss_weight=self.gan_weight)
+
+    def _gated_d_update(self, gan_on_bool, d_grads, new_stats,
+                        state: 'TrainState'):
+        """Apply the discriminator update only when the d step is active
+        (current_iter > net_d_start_iter). lax.cond (not grad-zeroing):
+        before the start iter the reference never calls optimizer_d.step,
+        so Adam moments must not decay and the bias-correction count must
+        not advance (vqgan_model.py:167-184) — a zero-grad update would
+        do both. Returns (params_d, d_stats, opt_d)."""
+        def on(_):
+            d_updates, opt_d = self.opt_d_tx.update(
+                d_grads, state.opt_d, state.params_d)
+            return (optax.apply_updates(state.params_d, d_updates),
+                    new_stats, opt_d)
+
+        def off(_):
+            return state.params_d, state.d_stats, state.opt_d
+
+        return jax.lax.cond(gan_on_bool, on, off, None)
+
+    def _set_log(self, metrics: Dict):
+        """Record step metrics WITHOUT fetching them. The step stays
+        fully async on device: the reference pulls its loss_dict to host
+        every iteration (base_model.py:297-322), but over a tunneled TPU
+        every float() is a ~23 ms blocking round trip x N metrics. The
+        fetch happens lazily (one stacked transfer) the first time
+        log_dict is read — the train loop reads it at print_freq only."""
+        self._log_metrics = metrics
+        self._log_cache = None
+
+    @property
+    def log_dict(self) -> Dict[str, float]:
+        if self._log_cache is None:
+            names = list(self._log_metrics)
+            if names:
+                packed = np.asarray(jnp.stack(
+                    [jnp.asarray(self._log_metrics[k], jnp.float32)
+                     for k in names]))
+                self._log_cache = dict(zip(names, map(float, packed)))
+            else:
+                self._log_cache = {}
+        return self._log_cache
+
+    @log_dict.setter
+    def log_dict(self, value: Dict[str, float]):
+        self._log_metrics = dict(value)
+        self._log_cache = dict(value)
+
     def get_current_log(self):
         return dict(self.log_dict)
 
     def get_current_learning_rate(self):
         return [float(self.schedule_g(self.state.step))]
+
+    # ------------------------- validation ---------------------------
+    def test(self, lq, w: float = 1.0):
+        """EMA-forward inference pass (sr_model.py:120-129,
+        codeformer_model.py:250-260: net_g_ema when EMA is tracked,
+        else net_g). Returns the restored image batch."""
+        if not hasattr(self, '_test_fn'):
+            def fwd(params, lq, w):
+                try:
+                    out = self.net_g.apply({'params': params}, lq, w)
+                except TypeError:
+                    out = self.net_g.apply({'params': params}, lq)
+                return out[0] if isinstance(out, tuple) else out
+            self._test_fn = jax.jit(fwd)
+        params = (self.state.params_g_ema if self.ema_decay > 0
+                  else self.state.params_g)
+        return self._test_fn(params, jnp.asarray(lq), jnp.float32(w))
+
+    def validation(self, dataloader, current_iter, tb_logger=None,
+                   save_img=False):
+        """PSNR/SSIM validation with per-image visualization dumps
+        (sr_model.py:135-194): training runs save
+        visualization/<img_name>/<img_name>_<iter>.png, test runs save
+        visualization/<dataset>/<img_name>_<suffix>.png."""
+        import os
+        import cv2
+        from codeformer_tpu.metrics import calculate_metric
+        from codeformer_tpu.utils.img_util import batch_to_imgs
+
+        val_opt = self.opt.get('val') or {}
+        metrics_opt = val_opt.get('metrics') or {}
+        results: Dict[str, list] = {k: [] for k in metrics_opt}
+        w = float(getattr(self, 'fidelity_weight', 1.0))
+        for idx, batch in enumerate(dataloader):
+            paths = (batch.get('lq_path') or batch.get('gt_path')
+                     or [f'{idx:08d}'])
+            img_name = osp.splitext(osp.basename(paths[0]))[0]
+            lq = np.asarray(batch['lq'] if 'lq' in batch
+                            else batch['in'])
+            sr_img = batch_to_imgs(np.asarray(self.test(lq, w=w)))[0]
+            if save_img:
+                if self.opt.get('is_train'):
+                    save_path = osp.join(
+                        self.opt['path']['visualization'], img_name,
+                        f'{img_name}_{current_iter}.png')
+                else:
+                    suffix = val_opt.get('suffix') or self.opt['name']
+                    save_path = osp.join(
+                        self.opt['path']['visualization'],
+                        f'{img_name}_{suffix}.png')
+                os.makedirs(osp.dirname(save_path), exist_ok=True)
+                cv2.imwrite(save_path, sr_img)
+            if 'gt' in batch:
+                gt_img = batch_to_imgs(np.asarray(batch['gt']))[0]
+                for name, m_opt in metrics_opt.items():
+                    results[name].append(calculate_metric(
+                        {'img': sr_img, 'img2': gt_img}, m_opt))
+        out = {}
+        for name, vals in results.items():
+            if not vals:
+                continue
+            out[name] = float(np.mean(vals))
+            self.logger.info(f'Validation {name}: {out[name]:.4f} '
+                             f'@ iter {current_iter}')
+            if tb_logger is not None:
+                tb_logger.add_scalar(f'metrics/{name}', out[name],
+                                     current_iter)
+        return out
 
 
 def _merge_subtree(params: Dict, pretrained: Dict, keys) -> Dict:
@@ -287,14 +496,14 @@ class SRModel(BaseTrainer):
     with pixel (+ perceptual) losses, single Adam, EMA, PSNR/SSIM
     validation via the metric registry."""
 
+    KNOWN_TRAIN_KEYS = BaseTrainer.KNOWN_TRAIN_KEYS | {
+        'pixel_opt', 'perceptual_opt'}
+
     def _build(self):
         opt = self.opt
         self.net_g = self._net(opt['network_g'])
         self._build_perceptual()
-        pix = dict(self.train_opt.get('pixel_opt')
-                   or {'type': 'L1Loss', 'loss_weight': 1.0})
-        self.pixel_weight = pix.get('loss_weight', 1.0)
-        self.pixel_type = pix.get('type', 'L1Loss')
+        self._setup_pixel()
 
         self.schedule_g = build_schedule(
             self.train_opt, self.train_opt['optim_g']['lr'])
@@ -311,14 +520,6 @@ class SRModel(BaseTrainer):
             params_g_ema=jax.tree.map(jnp.asarray, params_g),
             opt_g=self.opt_g_tx.init(params_g))
         self._step = self._jit_step(self._make_step())
-
-    def _pixel_loss(self, out, gt):
-        from .losses import charbonnier_loss, mse_loss
-        if self.pixel_type == 'MSELoss':
-            return mse_loss(out, gt, loss_weight=self.pixel_weight)
-        if self.pixel_type == 'CharbonnierLoss':
-            return charbonnier_loss(out, gt, loss_weight=self.pixel_weight)
-        return l1_loss(out, gt, loss_weight=self.pixel_weight)
 
     def _make_step(self):
         def loss_fn(params_g, batch):
@@ -359,15 +560,21 @@ class SRModel(BaseTrainer):
 
     def optimize_parameters(self, current_iter: int):
         self.state, metrics = self._step(self.state, self.batch)
-        self.log_dict = {k: float(v) for k, v in metrics.items()}
+        self._set_log(metrics)
 
 
 @MODEL_REGISTRY.register()
 class VQGANModel(BaseTrainer):
     """Stage I: VQGAN GAN training (vqgan_model.py).
 
-    g-step: L1 + perceptual + adaptive-weighted hinge GAN + codebook loss;
-    d-step: real/fake hinge, gated by net_d_start_iter; EMA."""
+    g-step: pixel + perceptual + adaptive-weighted GAN + codebook loss,
+    gated by net_d_iters/net_g_start_iter (vqgan_model.py:135);
+    d-step: real/fake hinge, gated by net_d_start_iter; EMA always."""
+
+    KNOWN_TRAIN_KEYS = BaseTrainer.KNOWN_TRAIN_KEYS | {
+        'pixel_opt', 'perceptual_opt', 'gan_opt', 'codebook_loss_weight',
+        'disc_weight', 'net_d_iters', 'net_d_start_iter',
+        'net_g_start_iter'}
 
     def _build(self):
         opt = self.opt
@@ -378,7 +585,12 @@ class VQGANModel(BaseTrainer):
                                                     1.0)
         self.net_d_start_iter = int(self.train_opt.get('net_d_start_iter',
                                                        0))
+        self.net_d_iters = int(self.train_opt.get('net_d_iters', 1))
+        self.net_g_start_iter = int(self.train_opt.get('net_g_start_iter',
+                                                       0))
         self.disc_weight = self.train_opt.get('disc_weight', 0.8)
+        self._setup_pixel()
+        self._setup_gan()
         self._build_perceptual()
 
         self.schedule_g = build_schedule(
@@ -412,31 +624,37 @@ class VQGANModel(BaseTrainer):
         self._anchor = ('generator', f'blocks_{last}', 'kernel')
 
         self._step = self._jit_step(self._make_step())
+        # compiled lazily on the first gated iter (net_d_iters > 1 or
+        # net_g_start_iter > 0): d-step + EMA without a generator update
+        self._step_d_only = self._jit_step(self._make_d_only_step())
+
+    def _g_forward(self, params_g, gt, temperature, rng):
+        """One generator forward (VQ round trip), gumbel-aware."""
+        if self.opt['network_g'].get('quantizer') == 'gumbel':
+            out, l_codebook, stats = self.net_g.apply(
+                {'params': params_g}, gt, temperature=temperature,
+                train=True, rngs={'gumbel': rng})
+            stats = dict(stats)
+            stats.setdefault('perplexity', jnp.zeros(()))
+        else:
+            out, l_codebook, stats = self.net_g.apply(
+                {'params': params_g}, gt)
+        return out, l_codebook, stats
 
     def _make_step(self):
-        is_gumbel = self.opt['network_g'].get('quantizer') == 'gumbel'
-
         def losses(params_g, params_d, d_stats, gt, temperature, rng):
-            if is_gumbel:
-                # temperature anneal handled by caller
-                # (vqgan_model.py:120-123)
-                out, l_codebook, stats = self.net_g.apply(
-                    {'params': params_g}, gt, temperature=temperature,
-                    train=True, rngs={'gumbel': rng})
-                stats = dict(stats)
-                stats.setdefault('perplexity', jnp.zeros(()))
-            else:
-                out, l_codebook, stats = self.net_g.apply(
-                    {'params': params_g}, gt)
+            # temperature anneal handled by caller (vqgan_model.py:120-123)
+            out, l_codebook, stats = self._g_forward(params_g, gt,
+                                                     temperature, rng)
             l_codebook = l_codebook * self.l_weight_codebook
-            l_pix = l1_loss(out, gt)
+            l_pix = self._pixel_loss(out, gt)
             l_percep = (self.cri_perceptual(out, gt)
                         if self.cri_perceptual else 0.0)
             recon = l_pix + l_percep
             fake_pred = self.net_d.apply(
                 {'params': params_d, 'batch_stats': d_stats}, out,
                 train=False)
-            l_gan = gan_loss(fake_pred, True, 'hinge', is_disc=False)
+            l_gan = self._gan_loss(fake_pred, True, is_disc=False)
             aux = {'l_g_pix': l_pix, 'l_codebook': l_codebook,
                    'perplexity': stats['perplexity'], 'out': out}
             if self.cri_perceptual:
@@ -472,10 +690,8 @@ class VQGANModel(BaseTrainer):
                         {'params': params_d,
                          'batch_stats': mut['batch_stats']}, out,
                         train=True, mutable=['batch_stats'])
-                    l_real = gan_loss(real_pred, True, 'hinge',
-                                      is_disc=True)
-                    l_fake = gan_loss(fake_pred, False, 'hinge',
-                                      is_disc=True)
+                    l_real = self._gan_loss(real_pred, True, is_disc=True)
+                    l_fake = self._gan_loss(fake_pred, False, is_disc=True)
                     return l_real + l_fake, (mut['batch_stats'],
                                              {'l_d_real': l_real,
                                               'l_d_fake': l_fake,
@@ -506,8 +722,8 @@ class VQGANModel(BaseTrainer):
             leaf_gan = _get_leaf(g_gan, self._anchor)
             d_weight = _l2norm(leaf_rc) / (_l2norm(leaf_gan) + 1e-4)
             d_weight = jnp.clip(d_weight, 0.0, 1.0) * self.disc_weight
-            gan_on = (current_iter > self.net_d_start_iter).astype(
-                jnp.float32)
+            gan_on_bool = current_iter > self.net_d_start_iter
+            gan_on = gan_on_bool.astype(jnp.float32)
             grads = jax.tree.map(
                 lambda a, b: a + d_weight * gan_on * b, g_rc, g_gan)
 
@@ -517,14 +733,9 @@ class VQGANModel(BaseTrainer):
             params_g_ema = ema_update(state.params_g_ema, params_g,
                                       self.ema_decay)
 
-            # ---- discriminator ----
-            d_grads = jax.tree.map(lambda g: g * gan_on, d_grads)
-            d_stats = jax.tree.map(
-                lambda new, old: gan_on * new + (1 - gan_on) * old,
-                d_stats, state.d_stats)
-            d_updates, opt_d = self.opt_d_tx.update(d_grads, state.opt_d,
-                                                    state.params_d)
-            params_d = optax.apply_updates(state.params_d, d_updates)
+            # ---- discriminator (only past net_d_start_iter) ----
+            params_d, d_stats, opt_d = self._gated_d_update(
+                gan_on_bool, d_grads, d_stats, state)
 
             metrics = {'l_g_total': recon + l_code
                        + d_weight * gan_on * l_gan,
@@ -537,17 +748,77 @@ class VQGANModel(BaseTrainer):
             return new_state, metrics
         return step
 
+    def _make_d_only_step(self):
+        """Gated iteration (current_iter % net_d_iters != 0 or
+        current_iter <= net_g_start_iter): the reference skips the entire
+        generator block — no g losses, no g backward, no optimizer_g
+        step, no Adam-moment movement — but still runs the forward for
+        the d step and the EMA (vqgan_model.py:135-190)."""
+        def step(state: TrainState, gt, current_iter):
+            temperature = jnp.maximum(
+                1.0 / 16, 1.0 - current_iter.astype(jnp.float32) / 160000)
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), current_iter)
+            out, _, _ = self._g_forward(state.params_g, gt, temperature,
+                                        rng)
+            out = jax.lax.stop_gradient(out)
+
+            def d_loss(params_d, d_stats):
+                real_pred, mut = self.net_d.apply(
+                    {'params': params_d, 'batch_stats': d_stats},
+                    gt, train=True, mutable=['batch_stats'])
+                fake_pred, mut = self.net_d.apply(
+                    {'params': params_d,
+                     'batch_stats': mut['batch_stats']}, out,
+                    train=True, mutable=['batch_stats'])
+                l_real = self._gan_loss(real_pred, True, is_disc=True)
+                l_fake = self._gan_loss(fake_pred, False, is_disc=True)
+                return l_real + l_fake, (mut['batch_stats'],
+                                         {'l_d_real': l_real,
+                                          'l_d_fake': l_fake,
+                                          'out_d_real': jnp.mean(real_pred),
+                                          'out_d_fake': jnp.mean(fake_pred)})
+
+            (_, (new_stats, d_aux)), d_grads = jax.value_and_grad(
+                d_loss, has_aux=True)(state.params_d, state.d_stats)
+            params_d, d_stats, opt_d = self._gated_d_update(
+                current_iter > self.net_d_start_iter, d_grads, new_stats,
+                state)
+            params_g_ema = ema_update(state.params_g_ema, state.params_g,
+                                      self.ema_decay)
+            return TrainState(
+                step=state.step + 1, params_g=state.params_g,
+                params_g_ema=params_g_ema, opt_g=state.opt_g,
+                params_d=params_d, d_stats=d_stats, opt_d=opt_d), d_aux
+        return step
+
+    def _g_step_on(self, current_iter: int) -> bool:
+        """Whole-g-step gate (vqgan_model.py:135 / codeformer_model.py:162):
+        current_iter % net_d_iters == 0 and current_iter >
+        net_g_start_iter."""
+        return (current_iter % self.net_d_iters == 0
+                and current_iter > self.net_g_start_iter)
+
     def optimize_parameters(self, current_iter: int):
-        self.state, metrics = self._step(self.state, self.batch['gt'],
-                                         jnp.int32(current_iter))
-        self.log_dict = {k: float(v) for k, v in metrics.items()}
+        if self._g_step_on(current_iter):
+            self.state, metrics = self._step(self.state, self.batch['gt'],
+                                             jnp.int32(current_iter))
+        else:
+            self.state, metrics = self._step_d_only(
+                self.state, self.batch['gt'], jnp.int32(current_iter))
+        self._set_log(metrics)
 
 
 @MODEL_REGISTRY.register()
 class CodeFormerIdxModel(BaseTrainer):
     """Stage II: code-sequence prediction pretraining
     (codeformer_idx_model.py): w=0, code_only, L2 latent-feature loss +
-    cross-entropy on codebook indices; quantize/generator frozen."""
+    cross-entropy on codebook indices; quantize/generator frozen (the
+    loss differentiates only the trainable subtree — see _split_params).
+    """
+
+    KNOWN_TRAIN_KEYS = BaseTrainer.KNOWN_TRAIN_KEYS | {
+        'use_hq_feat_loss', 'feat_loss_weight', 'cross_entropy_loss',
+        'entropy_loss_weight', 'fidelity_weight'}
 
     def _build(self):
         opt = self.opt
@@ -571,7 +842,7 @@ class CodeFormerIdxModel(BaseTrainer):
         self.schedule_g = build_schedule(
             self.train_opt, self.train_opt['optim_g']['lr'])
         self.opt_g_tx = build_optimizer(self.train_opt['optim_g'],
-                                        self.schedule_g, self.fix_modules)
+                                        self.schedule_g)
 
         img = 512 if 'img_size' not in opt['network_g'] else \
             opt['network_g']['img_size']
@@ -596,30 +867,41 @@ class CodeFormerIdxModel(BaseTrainer):
                     self.hq_vqgan, sample)['params']
             self.vqgan_params = jax.device_put(vq_pre)
 
+        self._fix_keys = _expand_fix_keys(self.fix_modules, params_g)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32), params_g=params_g,
             params_g_ema=jax.tree.map(jnp.asarray, params_g),
-            opt_g=self.opt_g_tx.init(params_g))
+            opt_g=self.opt_g_tx.init(
+                _split_params(params_g, self._fix_keys)[0]))
         self._step = self._jit_step(self._make_step())
 
     def _latent_hw(self):
         # 512 -> 16 for the fixed backbone (codeformer_arch.py:259)
         return 16
 
-    def _idx_gt(self, params_g, gt, batch):
+    def _idx_gt(self, vqgan_params, gt, batch):
+        """GT code indices: precomputed latent_gt if present, else the
+        frozen HQ VQGAN encode (codeformer_idx_model.py:46-57,91-95).
+        Runs INSIDE the jitted step — vqgan_params is an explicit arg
+        (a device-array closure would both embed the weights as MLIR
+        constants, an 80-230 s/array lowering stall over the axon tunnel
+        per docs/roofline.md, and run unfused when called eagerly)."""
         if 'latent_gt' in batch:
             return batch['latent_gt']
         x, _ = self.hq_vqgan.apply(
-            {'params': self.vqgan_params}, gt,
+            {'params': vqgan_params}, gt,
             method=lambda m, g: m.encoder(g))
         # nearest-code indices from the frozen codebook
         from codeformer_tpu.ops.vq import nearest_code_indices
-        emb = self.vqgan_params['quantize']['embedding']
+        emb = vqgan_params['quantize']['embedding']
         idx = nearest_code_indices(x.reshape(-1, emb.shape[1]), emb)
         return idx.reshape(gt.shape[0], -1)
 
     def _make_step(self):
-        def loss_fn(params_g, batch, idx_gt):
+        fix_keys = self._fix_keys
+
+        def loss_fn(p_train, frozen, batch, idx_gt):
+            params_g = {**p_train, **frozen}
             logits, lq_feat = self.net_g.apply(
                 {'params': params_g}, batch['in'], 0.0, code_only=True)
             b = lq_feat.shape[0]
@@ -647,27 +929,28 @@ class CodeFormerIdxModel(BaseTrainer):
 
         accum = self.accum_steps
 
-        def grads_of(params_g, batch, idx_gt):
+        def grads_of(p_train, frozen, batch, idx_gt):
             (total, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params_g, batch, idx_gt)
+                loss_fn, has_aux=True)(p_train, frozen, batch, idx_gt)
             metrics['l_g_total'] = total
             return grads, metrics
 
-        def step(state: TrainState, batch):
+        def step(state: TrainState, batch, vqgan_params):
+            p_train, frozen = _split_params(state.params_g, fix_keys)
             if accum == 1:
-                idx_gt = self._idx_gt(state.params_g, batch['gt'], batch)
-                grads, metrics = grads_of(state.params_g, batch, idx_gt)
+                idx_gt = self._idx_gt(vqgan_params, batch['gt'], batch)
+                grads, metrics = grads_of(p_train, frozen, batch, idx_gt)
             else:
                 # idx_gt (frozen-VQGAN encode) runs per microbatch too,
                 # so its activations share the microbatch footprint
                 def micro(c, mb, i):
-                    idx_gt = self._idx_gt(state.params_g, mb['gt'], mb)
-                    return c, grads_of(state.params_g, mb, idx_gt)
+                    idx_gt = self._idx_gt(vqgan_params, mb['gt'], mb)
+                    return c, grads_of(p_train, frozen, mb, idx_gt)
                 _, (grads, metrics) = _accum_microbatches(
                     micro, batch, accum)
             updates, opt_g = self.opt_g_tx.update(grads, state.opt_g,
-                                                  state.params_g)
-            params_g = optax.apply_updates(state.params_g, updates)
+                                                  p_train)
+            params_g = {**optax.apply_updates(p_train, updates), **frozen}
             params_g_ema = ema_update(state.params_g_ema, params_g,
                                       self.ema_decay)
             return TrainState(state.step + 1, params_g, params_g_ema,
@@ -675,8 +958,10 @@ class CodeFormerIdxModel(BaseTrainer):
         return step
 
     def optimize_parameters(self, current_iter: int):
-        self.state, metrics = self._step(self.state, self.batch)
-        self.log_dict = {k: float(v) for k, v in metrics.items()}
+        self.state, metrics = self._step(
+            self.state, self.batch,
+            self.vqgan_params if self.generate_idx_gt else None)
+        self._set_log(metrics)
 
 
 @MODEL_REGISTRY.register()
@@ -684,7 +969,18 @@ class CodeFormerJointModel(BaseTrainer):
     """Stage III (shipped): joint schedule alternating small/large
     degradation (codeformer_joint_model.py:153-171):
       iter <= 40k: w=1 small; <= 80k: w=1.3 small; <= 120k: code-only
-      large; then mixed (1 in 15 large)."""
+      large; then mixed (1 in 15 large).
+
+    The whole g-step is additionally gated by net_d_iters /
+    net_g_start_iter (codeformer_joint_model.py:179); frozen modules
+    (quantize, generator) are excluded from differentiation entirely
+    (_split_params)."""
+
+    KNOWN_TRAIN_KEYS = BaseTrainer.KNOWN_TRAIN_KEYS | {
+        'use_hq_feat_loss', 'feat_loss_weight', 'cross_entropy_loss',
+        'entropy_loss_weight', 'scale_adaptive_gan_weight', 'pixel_opt',
+        'perceptual_opt', 'gan_opt', 'net_d_iters', 'net_d_start_iter',
+        'net_g_start_iter', 'fidelity_weight'}
 
     def _build(self):
         opt = self.opt
@@ -696,6 +992,9 @@ class CodeFormerJointModel(BaseTrainer):
         self.net_d = self._net(opt.get('network_d', {
             'type': 'VQGANDiscriminator'}))
         self.fix_generator = 'generator' in self.fix_modules
+        # reference joint model gates the code losses off when the
+        # transformer itself is frozen (codeformer_joint_model.py:181)
+        self.code_losses_on = 'transformer' not in self.fix_modules
 
         self.hq_feat_loss = self.train_opt.get('use_hq_feat_loss', True)
         self.feat_loss_weight = self.train_opt.get('feat_loss_weight', 1.0)
@@ -705,6 +1004,11 @@ class CodeFormerJointModel(BaseTrainer):
             'scale_adaptive_gan_weight', 0.8)
         self.net_d_start_iter = int(self.train_opt.get('net_d_start_iter',
                                                        0))
+        self.net_d_iters = int(self.train_opt.get('net_d_iters', 1))
+        self.net_g_start_iter = int(self.train_opt.get('net_g_start_iter',
+                                                       0))
+        self._setup_pixel()
+        self._setup_gan()
         self._build_perceptual()
 
         self.generate_idx_gt = 'network_vqgan' in opt
@@ -716,7 +1020,7 @@ class CodeFormerJointModel(BaseTrainer):
         self.schedule_d = build_schedule(
             self.train_opt, self.train_opt['optim_d']['lr'])
         self.opt_g_tx = build_optimizer(self.train_opt['optim_g'],
-                                        self.schedule_g, self.fix_modules)
+                                        self.schedule_g)
         self.opt_d_tx = build_optimizer(self.train_opt['optim_d'],
                                         self.schedule_d)
 
@@ -739,10 +1043,13 @@ class CodeFormerJointModel(BaseTrainer):
                                           sample)['params']
             self.vqgan_params = jax.device_put(vq_pre)
 
+        self._fix_keys = _expand_fix_keys(self.fix_modules, params_g)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32), params_g=params_g,
             params_g_ema=jax.tree.map(jnp.asarray, params_g),
-            opt_g=self.opt_g_tx.init(params_g), params_d=params_d,
+            opt_g=self.opt_g_tx.init(
+                _split_params(params_g, self._fix_keys)[0]),
+            params_d=params_d,
             d_stats=d_stats, opt_d=self.opt_d_tx.init(params_d))
 
         largest = str(max(int(s) for s in
@@ -758,21 +1065,28 @@ class CodeFormerJointModel(BaseTrainer):
 
         self._step_full = self._jit_step(self._make_full_step())
         self._step_code = self._jit_step(self._make_code_step())
+        # gated variants, compiled lazily on the first gated iteration
+        self._step_d_only = self._jit_step(self._make_d_only_step())
+        self._step_ema_only = self._jit_step(self._make_ema_only_step())
 
-    def _idx_gt(self, gt, batch):
+    def _idx_gt(self, vqgan_params, gt, batch):
+        """GT code indices, inside the jitted step (see
+        CodeFormerIdxModel._idx_gt for why vqgan_params is an arg)."""
         if 'latent_gt' in batch:
             return batch['latent_gt']
         x, _ = self.hq_vqgan.apply(
-            {'params': self.vqgan_params}, gt,
+            {'params': vqgan_params}, gt,
             method=lambda m, g: m.encoder(g))
         from codeformer_tpu.ops.vq import nearest_code_indices
-        emb = self.vqgan_params['quantize']['embedding']
+        emb = vqgan_params['quantize']['embedding']
         idx = nearest_code_indices(x.reshape(-1, emb.shape[1]), emb)
         return idx.reshape(gt.shape[0], -1)
 
     def _code_losses(self, params_g, logits, lq_feat, idx_gt):
         total = 0.0
         metrics = {}
+        if not self.code_losses_on:
+            return total, metrics
         b, hw = lq_feat.shape[0], lq_feat.shape[1]
         if self.hq_feat_loss:
             from codeformer_tpu.ops.vq import codebook_lookup
@@ -791,20 +1105,41 @@ class CodeFormerJointModel(BaseTrainer):
             metrics['cross_entropy_loss'] = l_ce
         return total, metrics
 
+    def _d_loss_fn(self, params_d, d_stats, real, fake):
+        """Hinge d loss with the chained double BatchNorm forward
+        (codeformer_joint_model.py:236-249)."""
+        real_pred, mut = self.net_d.apply(
+            {'params': params_d, 'batch_stats': d_stats},
+            real, train=True, mutable=['batch_stats'])
+        fake_pred, mut = self.net_d.apply(
+            {'params': params_d,
+             'batch_stats': mut['batch_stats']}, fake,
+            train=True, mutable=['batch_stats'])
+        l_real = self._gan_loss(real_pred, True, is_disc=True)
+        l_fake = self._gan_loss(fake_pred, False, is_disc=True)
+        return l_real + l_fake, (
+            mut['batch_stats'],
+            {'l_d_real': l_real, 'l_d_fake': l_fake,
+             'out_d_real': jnp.mean(real_pred),
+             'out_d_fake': jnp.mean(fake_pred)})
+
     def _make_full_step(self):
-        def losses(params_g, params_d, d_stats, batch, idx_gt, w):
+        fix_keys = self._fix_keys
+
+        def losses(p_train, frozen, params_d, d_stats, batch, idx_gt, w):
+            params_g = {**p_train, **frozen}
             out, logits, lq_feat = self.net_g.apply(
                 {'params': params_g}, batch['in'], w, detach_16=True)
             code_total, metrics = self._code_losses(params_g, logits,
                                                     lq_feat, idx_gt)
-            l_pix = l1_loss(out, batch['gt'])
+            l_pix = self._pixel_loss(out, batch['gt'])
             l_percep = (self.cri_perceptual(out, batch['gt'])
                         if self.cri_perceptual else 0.0)
             recon = l_pix + l_percep
             fake_pred = self.net_d.apply(
                 {'params': params_d, 'batch_stats': d_stats}, out,
                 train=False)
-            l_gan = gan_loss(fake_pred, True, 'hinge', is_disc=False)
+            l_gan = self._gan_loss(fake_pred, True, is_disc=False)
             metrics.update(l_g_pix=l_pix, out=out)
             if self.cri_perceptual:
                 metrics['l_g_percep'] = l_percep
@@ -812,52 +1147,40 @@ class CodeFormerJointModel(BaseTrainer):
 
         accum = self.accum_steps
 
-        def step(state: TrainState, batch, idx_gt, w, current_iter):
-            def micro(d_stats_chain, mb, mb_idx):
+        def step(state: TrainState, batch, vqgan_params, w, current_iter):
+            p_train, frozen = _split_params(state.params_g, fix_keys)
+
+            def micro(d_stats_chain, mb):
                 """One microbatch: generator cotangent pulls + d grads;
-                chains the d batchnorm stats. mb_idx None -> compute
-                idx_gt from the frozen VQGAN per microbatch."""
-                if mb_idx is None:
-                    mb_idx = self._idx_gt(mb['gt'], mb)
+                chains the d batchnorm stats. idx_gt (frozen-VQGAN
+                encode) runs here so its activations share the
+                microbatch footprint."""
+                mb_idx = self._idx_gt(vqgan_params, mb['gt'], mb)
                 (vals, vjp_fn, aux) = jax.vjp(
-                    functools.partial(losses, params_d=state.params_d,
+                    functools.partial(losses, frozen=frozen,
+                                      params_d=state.params_d,
                                       d_stats=state.d_stats, batch=mb,
                                       idx_gt=mb_idx, w=w),
-                    state.params_g, has_aux=True)
+                    p_train, has_aux=True)
                 main, l_gan = vals
                 g_main = vjp_fn((1.0, 0.0))[0]
                 g_gan = vjp_fn((0.0, 1.0))[0]
                 out = jax.lax.stop_gradient(aux.pop('out'))
 
-                def d_loss(params_d, d_stats):
-                    real_pred, mut = self.net_d.apply(
-                        {'params': params_d, 'batch_stats': d_stats},
-                        mb['gt'], train=True, mutable=['batch_stats'])
-                    fake_pred, mut = self.net_d.apply(
-                        {'params': params_d,
-                         'batch_stats': mut['batch_stats']}, out,
-                        train=True, mutable=['batch_stats'])
-                    l_real = gan_loss(real_pred, True, 'hinge',
-                                      is_disc=True)
-                    l_fake = gan_loss(fake_pred, False, 'hinge',
-                                      is_disc=True)
-                    return l_real + l_fake, (
-                        mut['batch_stats'],
-                        {'l_d_real': l_real, 'l_d_fake': l_fake})
-
                 (_, (new_stats, d_aux)), d_grads = jax.value_and_grad(
-                    d_loss, has_aux=True)(state.params_d, d_stats_chain)
+                    self._d_loss_fn, has_aux=True)(
+                        state.params_d, d_stats_chain, mb['gt'], out)
                 scalars = {'_main': main, '_l_gan': l_gan, **aux,
                            **d_aux}
                 return new_stats, (g_main, g_gan, d_grads, scalars)
 
             if accum == 1:
                 d_stats, (g_main, g_gan, d_grads, m) = micro(
-                    state.d_stats, batch, idx_gt)
+                    state.d_stats, batch)
             else:
                 d_stats, (g_main, g_gan, d_grads, m) = \
                     _accum_microbatches(
-                        lambda c, mb, i: micro(c, mb, None),
+                        lambda c, mb, i: micro(c, mb),
                         batch, accum, carry=state.d_stats)
             main = m.pop('_main')
             l_gan = m.pop('_l_gan')
@@ -867,23 +1190,18 @@ class CodeFormerJointModel(BaseTrainer):
             d_weight = _l2norm(leaf_m) / (_l2norm(leaf_g) + 1e-4)
             d_weight = jnp.clip(d_weight, 0.0, 1.0) \
                 * self.scale_adaptive_gan_weight
-            gan_on = (current_iter > self.net_d_start_iter).astype(
-                jnp.float32)
+            gan_on_bool = current_iter > self.net_d_start_iter
+            gan_on = gan_on_bool.astype(jnp.float32)
             grads = jax.tree.map(lambda a, b: a + d_weight * gan_on * b,
                                  g_main, g_gan)
             updates, opt_g = self.opt_g_tx.update(grads, state.opt_g,
-                                                  state.params_g)
-            params_g = optax.apply_updates(state.params_g, updates)
+                                                  p_train)
+            params_g = {**optax.apply_updates(p_train, updates), **frozen}
             params_g_ema = ema_update(state.params_g_ema, params_g,
                                       self.ema_decay)
 
-            d_grads = jax.tree.map(lambda g: g * gan_on, d_grads)
-            d_stats = jax.tree.map(
-                lambda new, old: gan_on * new + (1 - gan_on) * old,
-                d_stats, state.d_stats)
-            d_updates, opt_d = self.opt_d_tx.update(d_grads, state.opt_d,
-                                                    state.params_d)
-            params_d = optax.apply_updates(state.params_d, d_updates)
+            params_d, d_stats, opt_d = self._gated_d_update(
+                gan_on_bool, d_grads, d_stats, state)
 
             metrics.update(d_weight=d_weight,
                            l_g_gan=d_weight * gan_on * l_gan,
@@ -892,35 +1210,76 @@ class CodeFormerJointModel(BaseTrainer):
                               opt_g, params_d, d_stats, opt_d), metrics
         return step
 
-    def _make_code_step(self):
+    def _make_d_only_step(self):
+        """Gated small-degradation iteration: no g losses / backward /
+        optimizer_g step, but the forward still feeds the d step, and
+        EMA runs (codeformer_joint_model.py:179,227-250)."""
+        def step(state: TrainState, batch, w, current_iter):
+            out, _, _ = self.net_g.apply(
+                {'params': state.params_g}, batch['in'], w,
+                detach_16=True)
+            out = jax.lax.stop_gradient(out)
+            (_, (new_stats, d_aux)), d_grads = jax.value_and_grad(
+                self._d_loss_fn, has_aux=True)(
+                    state.params_d, state.d_stats, batch['gt'], out)
+            params_d, d_stats, opt_d = self._gated_d_update(
+                current_iter > self.net_d_start_iter, d_grads, new_stats,
+                state)
+            params_g_ema = ema_update(state.params_g_ema, state.params_g,
+                                      self.ema_decay)
+            return TrainState(
+                step=state.step + 1, params_g=state.params_g,
+                params_g_ema=params_g_ema, opt_g=state.opt_g,
+                params_d=params_d, d_stats=d_stats, opt_d=opt_d), d_aux
+        return step
+
+    def _make_ema_only_step(self):
+        """Gated large-degradation iteration: the reference skips both
+        the g block (net_d_iters gate) and the d block (large_de) —
+        only the EMA moves (codeformer_joint_model.py:227-231)."""
+        def step(state: TrainState):
+            params_g_ema = ema_update(state.params_g_ema, state.params_g,
+                                      self.ema_decay)
+            return state._replace(step=state.step + 1,
+                                  params_g_ema=params_g_ema), {}
+        return step
+
+    def _make_code_step(self, input_key: str = 'in_large_de'):
         """Large-degradation step: code losses only, no image-level loss,
-        no d update (codeformer_joint_model.py:167-171,196,232)."""
-        def loss_fn(params_g, batch, idx_gt):
+        no d update (codeformer_joint_model.py:167-171,196,232).
+        input_key='in' is the CodeFormerModel fidelity_weight==0 variant
+        (codeformer_model.py:152-153)."""
+        fix_keys = self._fix_keys
+
+        def loss_fn(p_train, frozen, batch, idx_gt):
+            params_g = {**p_train, **frozen}
             logits, lq_feat = self.net_g.apply(
-                {'params': params_g}, batch['in_large_de'], 0.0,
+                {'params': params_g}, batch[input_key], 0.0,
                 code_only=True)
             return self._code_losses(params_g, logits, lq_feat, idx_gt)
 
         accum = self.accum_steps
 
-        def grads_of(params_g, batch, idx_gt):
+        def grads_of(p_train, frozen, batch, idx_gt):
             (total, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params_g, batch, idx_gt)
+                loss_fn, has_aux=True)(p_train, frozen, batch, idx_gt)
             metrics['l_g_total'] = total
             return grads, metrics
 
-        def step(state: TrainState, batch, idx_gt):
+        def step(state: TrainState, batch, vqgan_params):
+            p_train, frozen = _split_params(state.params_g, fix_keys)
             if accum == 1:
-                grads, metrics = grads_of(state.params_g, batch, idx_gt)
+                idx_gt = self._idx_gt(vqgan_params, batch['gt'], batch)
+                grads, metrics = grads_of(p_train, frozen, batch, idx_gt)
             else:
                 def micro(c, mb, i):
-                    mb_idx = self._idx_gt(mb['gt'], mb)
-                    return c, grads_of(state.params_g, mb, mb_idx)
+                    mb_idx = self._idx_gt(vqgan_params, mb['gt'], mb)
+                    return c, grads_of(p_train, frozen, mb, mb_idx)
                 _, (grads, metrics) = _accum_microbatches(
                     micro, batch, accum)
             updates, opt_g = self.opt_g_tx.update(grads, state.opt_g,
-                                                  state.params_g)
-            params_g = optax.apply_updates(state.params_g, updates)
+                                                  p_train)
+            params_g = {**optax.apply_updates(p_train, updates), **frozen}
             params_g_ema = ema_update(state.params_g_ema, params_g,
                                       self.ema_decay)
             return state._replace(
@@ -939,20 +1298,32 @@ class CodeFormerJointModel(BaseTrainer):
             return 0.0, 120000
         return 1.3, 15
 
+    def _g_step_on(self, current_iter: int) -> bool:
+        """Whole-g-step gate (codeformer_joint_model.py:179)."""
+        return (current_iter % self.net_d_iters == 0
+                and current_iter > self.net_g_start_iter)
+
     def optimize_parameters(self, current_iter: int):
         w, small_per_n = self._phase(current_iter)
-        # accum > 1: idx_gt is computed per microbatch inside the step
-        # (so the frozen-VQGAN encode shares the microbatch footprint)
-        idx_gt = (None if self.accum_steps > 1
-                  else self._idx_gt(self.batch['gt'], self.batch))
+        vq = self.vqgan_params if self.generate_idx_gt else None
+        g_on = self._g_step_on(current_iter)
         if current_iter % small_per_n == 0:
-            self.state, metrics = self._step_full(
-                self.state, self.batch, idx_gt, jnp.float32(w),
-                jnp.int32(current_iter))
+            if g_on:
+                self.state, metrics = self._step_full(
+                    self.state, self.batch, vq, jnp.float32(w),
+                    jnp.int32(current_iter))
+            else:
+                self.state, metrics = self._step_d_only(
+                    self.state, self.batch, jnp.float32(w),
+                    jnp.int32(current_iter))
         else:
-            self.state, metrics = self._step_code(self.state, self.batch,
-                                                  idx_gt)
-        self.log_dict = {k: float(v) for k, v in metrics.items()}
+            if g_on:
+                self.state, metrics = self._step_code(
+                    self.state, self.batch, vq)
+            else:
+                # large_de + gated g: the reference only moves the EMA
+                self.state, metrics = self._step_ema_only(self.state)
+        self._set_log(metrics)
 
 
 @MODEL_REGISTRY.register()
@@ -963,13 +1334,33 @@ class CodeFormerModel(CodeFormerJointModel):
 
     def _build(self):
         super()._build()
+        # the single-degradation model has no transformer-freeze gate on
+        # its code losses (codeformer_model.py:163-174)
+        self.code_losses_on = True
         self.fidelity_weight = float(self.train_opt.get('fidelity_weight',
                                                         1.0))
+        if self.fidelity_weight <= 0:
+            # fidelity 0: code_only forward on 'in', no image losses, no
+            # d step at all (codeformer_model.py:150-153,215)
+            self._step_code_in = self._jit_step(
+                self._make_code_step(input_key='in'))
 
     def optimize_parameters(self, current_iter: int):
-        idx_gt = (None if self.accum_steps > 1
-                  else self._idx_gt(self.batch['gt'], self.batch))
-        self.state, metrics = self._step_full(
-            self.state, self.batch, idx_gt,
-            jnp.float32(self.fidelity_weight), jnp.int32(current_iter))
-        self.log_dict = {k: float(v) for k, v in metrics.items()}
+        vq = self.vqgan_params if self.generate_idx_gt else None
+        g_on = self._g_step_on(current_iter)
+        if self.fidelity_weight <= 0:
+            if g_on:
+                self.state, metrics = self._step_code_in(
+                    self.state, self.batch, vq)
+            else:
+                self.state, metrics = self._step_ema_only(self.state)
+        elif g_on:
+            self.state, metrics = self._step_full(
+                self.state, self.batch, vq,
+                jnp.float32(self.fidelity_weight),
+                jnp.int32(current_iter))
+        else:
+            self.state, metrics = self._step_d_only(
+                self.state, self.batch, jnp.float32(self.fidelity_weight),
+                jnp.int32(current_iter))
+        self._set_log(metrics)

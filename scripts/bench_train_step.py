@@ -105,16 +105,20 @@ def bench_batch(batch: int, img: int, iters: int,
     model.feed_data(feed)
     for i in range(1, 3):  # compile (full + EMA paths) + warm the link
         model.optimize_parameters(i)
+    float(np.asarray(model.state.step))
+    # steps now run fully async (metrics fetch is lazy) — the timed loop
+    # must end on a scalar FETCH of the last state: block_until_ready
+    # does not block over the axon tunnel (docs/roofline.md)
     t0 = time.perf_counter()
     for i in range(3, 3 + iters):
         model.optimize_parameters(i)
+    float(np.asarray(model.state.step))
     dt = (time.perf_counter() - t0) / iters
     tag = (f'B={batch}' + (f' accum={accum}' if accum > 1 else '')
            + (' remat' if remat else ''))
     print(f'{tag}: {dt * 1000:8.1f} ms/iter '
-          f'({batch / dt:6.2f} faces/s trained; ~23 ms of that is '
-          f'axon-tunnel log fetch a real host would not pay)',
-          flush=True)
+          f'({batch / dt:6.2f} faces/s trained; steps dispatch async, '
+          f'no per-iter log fetch)', flush=True)
     return dt
 
 

@@ -184,3 +184,42 @@ def test_position_embedding_sine_parity(rng):
             mask=None if mask is None else jnp.asarray(mask))
         np.testing.assert_allclose(np.asarray(got), _nhwc(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_codeformer_parity_production_config(rng):
+    """Torch parity at the PRODUCTION transformer width: dim_embd 512,
+    9 layers, 8 heads, codebook 1024 (inference_codeformer.py:135-136).
+    test_codeformer_parity_full runs the full 512^2 backbone but a
+    reduced token path (dim 64 / 2 layers / 4 heads); a head-dim-
+    dependent bug (attention scaling, in_proj split, per-head pos-emb
+    broadcast) would slip through it. One full-scale run closes that."""
+    t = cf_ref.CodeFormer(dim_embd=512, n_head=8, n_layers=9,
+                          codebook_size=1024, latent_size=256,
+                          connect_list=['32', '64', '128', '256'],
+                          fix_modules=None).eval()
+    with torch.no_grad():
+        t.position_emb.normal_(0, 0.02)
+    x = (rng.normal(size=(1, 512, 512, 3)) * 0.2).astype(np.float32)
+    with torch.no_grad():
+        ref_out, ref_logits, ref_lq = t(_nchw(x), w=0.5, adain=True)
+
+    m = CodeFormer(dim_embd=512, n_head=8, n_layers=9,
+                   codebook_size=1024, latent_size=256,
+                   connect_list=('32', '64', '128', '256'))
+    variables = torch_state_dict_to_flax(t.state_dict())
+    out, logits, lq = m.apply(variables, jnp.asarray(x), 0.5, adain=True)
+
+    np.testing.assert_allclose(np.asarray(lq), _nhwc(ref_lq),
+                               rtol=1e-3, atol=1e-4)
+    # 9 pre-LN layers at width 512 accumulate more float drift than the
+    # tiny config; logits tolerance is tiered accordingly
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    ref_idx = ref_logits.argmax(-1).numpy()
+    idx = np.asarray(jnp.argmax(logits, -1))
+    match = (idx == ref_idx).mean()
+    assert match >= 0.995, f'code selection match {match}'
+    if match == 1.0:
+        np.testing.assert_allclose(np.asarray(out), _nhwc(ref_out),
+                                   rtol=1e-2, atol=1e-3)

@@ -470,3 +470,190 @@ def test_remat_stage2_equivalence(tmp_path, tiny_dataset):
                                    atol=1e-6, err_msg=k)
     frac = _params_match_fraction(m0.state.params_g, m1.state.params_g)
     assert frac > 0.9, f'only {frac:.3f} of param entries match'
+
+
+def _tree_max_delta(a, b):
+    import jax
+    return max(float(np.abs(np.asarray(x) - np.asarray(y)).max())
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def test_stage3_frozen_modules_do_not_move(tmp_path, tiny_dataset):
+    """fix_modules must be a HARD freeze on the full stage-III step.
+    Regression test: optax.masked passes raw gradients through for
+    masked-out leaves, so apply_updates used to ADD the raw gradient to
+    the 'frozen' generator every full step (the generator gets nonzero
+    grads — the image losses flow through its convs). The trainers now
+    differentiate only the trainable subtree."""
+    from codeformer_tpu.train.trainers import build_model
+
+    opt = _base_opt(tmp_path, 'stage3_freeze', tiny_dataset)
+    opt['model_type'] = 'CodeFormerJointModel'
+    opt['network_g'] = dict(TINY_CF)
+    opt['network_vqgan'] = dict(TINY_VQGAN)
+    opt['network_d'] = {'type': 'VQGANDiscriminator', 'nc': 3, 'ndf': 32,
+                        'n_layers': 2}
+    model = build_model(opt)
+    g0 = {k: model.state.params_g[k] for k in ('generator', 'quantize')}
+    rng = np.random.default_rng(0)
+    batch = {'in': rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32),
+             'gt': rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)}
+    enc0 = np.asarray(
+        jax.tree.leaves(model.state.params_g['encoder'])[0]).copy()
+    model.feed_data(batch)
+    model.optimize_parameters(1)  # w=1.0 full step (image+gan losses)
+    g1 = {k: model.state.params_g[k] for k in ('generator', 'quantize')}
+    assert _tree_max_delta(g0, g1) == 0.0
+    # the trainable encoder DID move
+    enc1 = np.asarray(jax.tree.leaves(model.state.params_g['encoder'])[0])
+    assert np.abs(enc1 - enc0).max() > 0
+    # and the optimizer state only tracks trainable leaves (no Adam
+    # moments for the frozen ~2/3 of the model)
+    opt_leaves = jax.tree.leaves(model.state.opt_g)
+    train_leaves = jax.tree.leaves(
+        {k: v for k, v in model.state.params_g.items()
+         if k not in ('generator', 'quantize')})
+    full_leaves = jax.tree.leaves(model.state.params_g)
+    assert len(opt_leaves) < 2 * len(full_leaves)
+    assert any(l.size == train_leaves[0].size for l in opt_leaves)
+
+
+import jax  # noqa: E402  (used by the helpers below)
+
+
+def test_net_d_iters_gates_whole_g_step(tmp_path, tiny_dataset):
+    """net_d_iters / net_g_start_iter gate the ENTIRE generator step
+    (vqgan_model.py:135): on gated iters params_g and opt_g must be
+    bit-identical to before, while the d step and the EMA still run.
+    Hand-stepped schedule at net_d_iters=2, net_g_start_iter=1:
+    g updates on iters 2 and 4 only."""
+    from codeformer_tpu.train.trainers import build_model
+
+    opt = _base_opt(tmp_path, 'gating', tiny_dataset)
+    opt['model_type'] = 'VQGANModel'
+    opt['network_g'] = dict(TINY_VQGAN)
+    opt['network_d'] = {'type': 'VQGANDiscriminator', 'nc': 3, 'ndf': 32,
+                        'n_layers': 2}
+    opt['train']['net_d_iters'] = 2
+    opt['train']['net_g_start_iter'] = 1
+    opt['train']['net_d_start_iter'] = 0
+
+    model = build_model(opt)
+    rng = np.random.default_rng(1)
+    batch = {'gt': rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)}
+    expected_g_update = {1: False, 2: True, 3: False, 4: True}
+    for it in range(1, 5):
+        g_before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                                model.state.params_g)
+        d_before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                                model.state.params_d)
+        ema_before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                                  model.state.params_g_ema)
+        model.feed_data(dict(batch))
+        model.optimize_parameters(it)
+        g_moved = _tree_max_delta(g_before, model.state.params_g) > 0
+        d_moved = _tree_max_delta(d_before, model.state.params_d) > 0
+        ema_moved = _tree_max_delta(ema_before,
+                                    model.state.params_g_ema) > 0
+        assert g_moved == expected_g_update[it], f'iter {it}'
+        assert d_moved, f'iter {it}: d step must run every iteration'
+        # EMA runs every iteration, but before the first g update the
+        # shadow equals the params (a fixed point), so motion is only
+        # observable from iter 2 on
+        if it >= 2:
+            assert ema_moved, f'iter {it}: EMA must run every iteration'
+
+
+def test_net_d_start_iter_freezes_d_optimizer(tmp_path, tiny_dataset):
+    """Before net_d_start_iter the reference never calls
+    optimizer_d.step — Adam moments must not decay and the
+    bias-correction count must not advance (vqgan_model.py:167-184)."""
+    from codeformer_tpu.train.trainers import build_model
+
+    opt = _base_opt(tmp_path, 'd_start', tiny_dataset)
+    opt['model_type'] = 'VQGANModel'
+    opt['network_g'] = dict(TINY_VQGAN)
+    opt['network_d'] = {'type': 'VQGANDiscriminator', 'nc': 3, 'ndf': 32,
+                        'n_layers': 2}
+    opt['train']['net_d_start_iter'] = 2
+
+    model = build_model(opt)
+    d0 = jax.tree.map(lambda x: np.asarray(x).copy(),
+                      (model.state.params_d, model.state.opt_d,
+                       model.state.d_stats))
+    rng = np.random.default_rng(2)
+    batch = {'gt': rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)}
+    for it in (1, 2):  # both <= net_d_start_iter
+        model.feed_data(dict(batch))
+        model.optimize_parameters(it)
+    assert _tree_max_delta(
+        d0, (model.state.params_d, model.state.opt_d,
+             model.state.d_stats)) == 0.0
+    model.feed_data(dict(batch))
+    model.optimize_parameters(3)  # past the gate: d moves now
+    assert _tree_max_delta(d0[0], model.state.params_d) > 0
+
+
+def test_unknown_train_key_warns(tmp_path, tiny_dataset):
+    """No train: YAML knob may be silently ignored — unknown keys warn
+    at build time. (The project logger has propagate=False, so attach a
+    handler directly instead of caplog.)"""
+    import logging
+    from codeformer_tpu.train.trainers import build_model
+
+    opt = _base_opt(tmp_path, 'warnkeys', tiny_dataset)
+    opt['model_type'] = 'VQGANModel'
+    opt['network_g'] = dict(TINY_VQGAN)
+    opt['network_d'] = {'type': 'VQGANDiscriminator', 'nc': 3, 'ndf': 32,
+                        'n_layers': 2}
+    opt['train']['definitely_not_a_knob'] = 42
+
+    records = []
+
+    class _Catch(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    logger = logging.getLogger('codeformer_tpu')
+    handler = _Catch(level=logging.WARNING)
+    logger.addHandler(handler)
+    try:
+        build_model(opt)
+    finally:
+        logger.removeHandler(handler)
+    assert any('definitely_not_a_knob' in r.getMessage()
+               for r in records)
+
+
+def test_validation_saves_images_and_metrics(tmp_path, tiny_dataset):
+    """BaseTrainer.validation: EMA test() forward, per-image dump under
+    visualization/<img_name>/<img_name>_<iter>.png, metric averaging
+    (sr_model.py:135-194)."""
+    from codeformer_tpu.train.trainers import build_model
+
+    opt = _base_opt(tmp_path, 'valviz', tiny_dataset)
+    opt['model_type'] = 'VQGANModel'
+    opt['network_g'] = dict(TINY_VQGAN)
+    opt['network_d'] = {'type': 'VQGANDiscriminator', 'nc': 3, 'ndf': 32,
+                        'n_layers': 2}
+    opt['path']['visualization'] = str(tmp_path / 'viz')
+    opt['val'] = {'metrics': {'psnr': {'type': 'calculate_psnr',
+                                       'crop_border': 0}}}
+    model = build_model(opt)
+    rng = np.random.default_rng(3)
+    batches = [
+        {'lq': rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32),
+         'gt': rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32),
+         'lq_path': ['inputs/face_a.png']},
+        {'lq': rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32),
+         'gt': rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32),
+         'lq_path': ['inputs/face_b.png']},
+    ]
+    res = model.validation(batches, current_iter=123, save_img=True)
+    assert 'psnr' in res and np.isfinite(res['psnr'])
+    for name in ('face_a', 'face_b'):
+        p = tmp_path / 'viz' / name / f'{name}_123.png'
+        assert p.exists(), p
+    # test() uses the EMA tree and returns image-shaped output
+    out = np.asarray(model.test(batches[0]['lq']))
+    assert out.shape == (1, 64, 64, 3)
