@@ -168,6 +168,12 @@ class BaseTrainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self.state = jax.device_put(
                 self.state, NamedSharding(self.mesh, P()))
+        else:
+            # freshly-initialized state holds host numpy leaves; staging
+            # them once here (instead of as jit args on the first step)
+            # lets the donated step alias buffers from step 1 and avoids
+            # re-uploading the full tree over a tunneled device
+            self.state = jax.device_put(self.state)
 
     def _net(self, net_opt: Dict):
         """build_network with the trainer's compute dtype (and, for archs

@@ -76,8 +76,16 @@ def main():
     gt = jnp.asarray(rng.uniform(-1, 1, (B, img, img, 3)), jnp.float32)
     p_train, frozen = _split_params(model.state.params_g,
                                     model._fix_keys)
-    params_d, d_stats = model.state.params_d, model.state.d_stats
-    vq = model.vqgan_params
+    # CRITICAL: stage every operand on device ONCE. Freshly-initialized
+    # trainer state holds host numpy leaves; passing those to a jit
+    # re-uploads ~280 MB of params through the tunnel EVERY call, and
+    # the "bench" times H2D transfer instead of compute (observed: the
+    # same encoder 7.6 ms with device params vs 451 ms with host ones).
+    p_train = jax.device_put(p_train)
+    frozen = jax.device_put(frozen)
+    params_d = jax.device_put(model.state.params_d)
+    d_stats = jax.device_put(model.state.d_stats)
+    vq = model.vqgan_params  # already device (trainers device_put it)
     w = jnp.float32(1.3)
     hw = img // 32
 
@@ -157,7 +165,7 @@ def main():
         return _first_leaf(d_grads) * 1e-6
 
     grads0 = jax.jit(lambda p: jax.tree.map(jnp.zeros_like, p))(p_train)
-    opt_state0 = model.opt_g_tx.init(p_train)
+    opt_state0 = jax.device_put(model.opt_g_tx.init(p_train))
 
     def seg_opt(s, p_train, grads0, opt_state0, ema0):
         import optax

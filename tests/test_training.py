@@ -494,7 +494,10 @@ def test_stage3_frozen_modules_do_not_move(tmp_path, tiny_dataset):
     opt['network_d'] = {'type': 'VQGANDiscriminator', 'nc': 3, 'ndf': 32,
                         'n_layers': 2}
     model = build_model(opt)
-    g0 = {k: model.state.params_g[k] for k in ('generator', 'quantize')}
+    # copy to host: the donated step consumes the live state buffers
+    g0 = jax.tree.map(
+        lambda x: np.asarray(x).copy(),
+        {k: model.state.params_g[k] for k in ('generator', 'quantize')})
     rng = np.random.default_rng(0)
     batch = {'in': rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32),
              'gt': rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)}
