@@ -675,17 +675,49 @@ class VQGANModel(BaseTrainer):
                 1.0 / 16, 1.0 - current_iter.astype(jnp.float32) / 160000)
             rng = jax.random.fold_in(jax.random.PRNGKey(0), current_iter)
 
-            def micro(d_stats_chain, gt_mb, rng_mb):
-                """One microbatch: the two generator cotangent pulls +
-                discriminator grads; chains the d batchnorm stats."""
-                (vals, vjp_fn, aux) = jax.vjp(
+            gan_on_bool = current_iter > self.net_d_start_iter
+            gan_on = gan_on_bool.astype(jnp.float32)
+
+            def micro_vjp(gt_mb, rng_mb):
+                return jax.vjp(
                     functools.partial(losses, params_d=state.params_d,
                                       d_stats=state.d_stats, gt=gt_mb,
                                       temperature=temperature, rng=rng_mb),
                     state.params_g, has_aux=True)
+
+            def d_weight_of(vjp_fn):
+                """calculate_adaptive_weight (vqgan_model.py): anchor-
+                leaf grad-norm ratio of recon vs gan. Results used only
+                at the anchor leaf -> XLA DCEs each probe down to the
+                decoder-tail + loss-head backward. The recon probe
+                cotangent is (1,0,0) — pure pix+percep like the
+                reference; the codebook loss never reaches the decoder
+                anchor so (1,0,1) would give the identical leaf."""
+                leaf_rc = _get_leaf(vjp_fn((1.0, 0.0, 0.0))[0],
+                                    self._anchor)
+                leaf_gan = _get_leaf(vjp_fn((0.0, 1.0, 0.0))[0],
+                                     self._anchor)
+                d_weight = _l2norm(leaf_rc) / (_l2norm(leaf_gan) + 1e-4)
+                return jnp.clip(d_weight, 0.0, 1.0) * self.disc_weight
+
+            def micro(d_stats_chain, gt_mb, rng_mb, single: bool):
+                """One microbatch. single=True (accum==1): anchor-only
+                d_weight probes + ONE full backward with the combined
+                cotangent (1, d_weight, 1) — the reference's own
+                backward structure, ~half the backward cost of two full
+                pulls (which the accum>1 path keeps so d_weight can be
+                computed from the POST-accumulation anchor grads,
+                matching the monolithic full-batch step exactly)."""
+                (vals, vjp_fn, aux) = micro_vjp(gt_mb, rng_mb)
                 recon, l_gan, l_code = vals
-                g_rc = vjp_fn((1.0, 0.0, 1.0))[0]
-                g_gan = vjp_fn((0.0, 1.0, 0.0))[0]
+                if single:
+                    d_weight = d_weight_of(vjp_fn)
+                    g_rc = vjp_fn((jnp.float32(1.0), d_weight * gan_on,
+                                   jnp.float32(1.0)))[0]
+                    g_gan = d_weight  # combined grads carried in g_rc
+                else:
+                    g_rc = vjp_fn((1.0, 0.0, 1.0))[0]
+                    g_gan = vjp_fn((0.0, 1.0, 0.0))[0]
                 out = jax.lax.stop_gradient(aux.pop('out'))
 
                 def d_loss(params_d, d_stats):
@@ -713,25 +745,24 @@ class VQGANModel(BaseTrainer):
                 return new_stats, (g_rc, g_gan, d_grads, scalars)
 
             if accum == 1:
-                d_stats, (g_rc, g_gan, d_grads, m) = micro(
-                    state.d_stats, gt, rng)
+                d_stats, (grads, d_weight, d_grads, m) = micro(
+                    state.d_stats, gt, rng, True)
             else:
                 d_stats, (g_rc, g_gan, d_grads, m) = _accum_microbatches(
                     lambda c, mb, i: micro(c, mb['gt'],
-                                           jax.random.fold_in(rng, i)),
+                                           jax.random.fold_in(rng, i),
+                                           False),
                     {'gt': gt}, accum, carry=state.d_stats)
+                leaf_rc = _get_leaf(g_rc, self._anchor)
+                leaf_gan = _get_leaf(g_gan, self._anchor)
+                d_weight = _l2norm(leaf_rc) / (_l2norm(leaf_gan) + 1e-4)
+                d_weight = jnp.clip(d_weight, 0.0, 1.0) * self.disc_weight
+                grads = jax.tree.map(
+                    lambda a, b: a + d_weight * gan_on * b, g_rc, g_gan)
             recon = m.pop('_recon')
             l_gan = m.pop('_l_gan')
             l_code = m.pop('_l_code')
             aux = m
-            leaf_rc = _get_leaf(g_rc, self._anchor)
-            leaf_gan = _get_leaf(g_gan, self._anchor)
-            d_weight = _l2norm(leaf_rc) / (_l2norm(leaf_gan) + 1e-4)
-            d_weight = jnp.clip(d_weight, 0.0, 1.0) * self.disc_weight
-            gan_on_bool = current_iter > self.net_d_start_iter
-            gan_on = gan_on_bool.astype(jnp.float32)
-            grads = jax.tree.map(
-                lambda a, b: a + d_weight * gan_on * b, g_rc, g_gan)
 
             updates, opt_g = self.opt_g_tx.update(grads, state.opt_g,
                                                   state.params_g)
@@ -1155,51 +1186,92 @@ class CodeFormerJointModel(BaseTrainer):
 
         def step(state: TrainState, batch, vqgan_params, w, current_iter):
             p_train, frozen = _split_params(state.params_g, fix_keys)
+            gan_on_bool = current_iter > self.net_d_start_iter
+            gan_on = gan_on_bool.astype(jnp.float32)
 
-            def micro(d_stats_chain, mb):
-                """One microbatch: generator cotangent pulls + d grads;
-                chains the d batchnorm stats. idx_gt (frozen-VQGAN
-                encode) runs here so its activations share the
-                microbatch footprint."""
+            def micro_vjp(mb):
                 mb_idx = self._idx_gt(vqgan_params, mb['gt'], mb)
-                (vals, vjp_fn, aux) = jax.vjp(
+                return jax.vjp(
                     functools.partial(losses, frozen=frozen,
                                       params_d=state.params_d,
                                       d_stats=state.d_stats, batch=mb,
                                       idx_gt=mb_idx, w=w),
                     p_train, has_aux=True)
+
+            def d_weight_of(vjp_fn):
+                """Adaptive GAN weight from the anchor-leaf grad-norm
+                ratio (calculate_adaptive_weight,
+                codeformer_joint_model.py:107-113). Each pull's result
+                is used ONLY at the anchor leaf, so XLA dead-code-
+                eliminates everything upstream of the anchor: the pull
+                costs the decoder-tail + loss-head backward, not a full
+                backward (measured, docs/roofline.md)."""
+                leaf_m = _get_leaf(vjp_fn((1.0, 0.0))[0], self._anchor)
+                leaf_g = _get_leaf(vjp_fn((0.0, 1.0))[0], self._anchor)
+                d_weight = _l2norm(leaf_m) / (_l2norm(leaf_g) + 1e-4)
+                return jnp.clip(d_weight, 0.0, 1.0) \
+                    * self.scale_adaptive_gan_weight
+
+            def d_step_of(d_stats_chain, mb, out):
+                return jax.value_and_grad(
+                    self._d_loss_fn, has_aux=True)(
+                        state.params_d, d_stats_chain, mb['gt'],
+                        jax.lax.stop_gradient(out))
+
+            def micro_single(d_stats_chain, mb):
+                """accum==1 path — the reference's own backward
+                structure (codeformer_joint_model.py:208-225): two
+                anchor-only grad probes, then ONE full backward of
+                l_g_total = main + d_weight*l_g_gan via the combined
+                cotangent (1, d_weight). Mathematically identical to
+                combining two full pulls (the vjp is linear in the
+                cotangent) at ~half the backward cost."""
+                (vals, vjp_fn, aux) = micro_vjp(mb)
+                main, l_gan = vals
+                d_weight = d_weight_of(vjp_fn)
+                grads = vjp_fn((jnp.float32(1.0), d_weight * gan_on))[0]
+                (_, (new_stats, d_aux)), d_grads = d_step_of(
+                    d_stats_chain, mb, aux.pop('out'))
+                scalars = {'_main': main, '_l_gan': l_gan,
+                           '_d_weight': d_weight, **aux, **d_aux}
+                return new_stats, (grads, d_grads, scalars)
+
+            def micro(d_stats_chain, mb):
+                """accum>1 path: two full cotangent pulls per
+                microbatch; d_weight is computed AFTER accumulation
+                from the averaged anchor grads, so the update equals
+                the monolithic full-batch step exactly (the per-
+                microbatch d_weight of micro_single would not)."""
+                (vals, vjp_fn, aux) = micro_vjp(mb)
                 main, l_gan = vals
                 g_main = vjp_fn((1.0, 0.0))[0]
                 g_gan = vjp_fn((0.0, 1.0))[0]
-                out = jax.lax.stop_gradient(aux.pop('out'))
-
-                (_, (new_stats, d_aux)), d_grads = jax.value_and_grad(
-                    self._d_loss_fn, has_aux=True)(
-                        state.params_d, d_stats_chain, mb['gt'], out)
+                (_, (new_stats, d_aux)), d_grads = d_step_of(
+                    d_stats_chain, mb, aux.pop('out'))
                 scalars = {'_main': main, '_l_gan': l_gan, **aux,
                            **d_aux}
                 return new_stats, (g_main, g_gan, d_grads, scalars)
 
             if accum == 1:
-                d_stats, (g_main, g_gan, d_grads, m) = micro(
+                d_stats, (grads, d_grads, m) = micro_single(
                     state.d_stats, batch)
+                d_weight = m.pop('_d_weight')
             else:
                 d_stats, (g_main, g_gan, d_grads, m) = \
                     _accum_microbatches(
                         lambda c, mb, i: micro(c, mb),
                         batch, accum, carry=state.d_stats)
+                leaf_m = _get_leaf(g_main, self._anchor)
+                leaf_g = _get_leaf(g_gan, self._anchor)
+                d_weight = _l2norm(leaf_m) / (_l2norm(leaf_g) + 1e-4)
+                d_weight = jnp.clip(d_weight, 0.0, 1.0) \
+                    * self.scale_adaptive_gan_weight
+                grads = jax.tree.map(
+                    lambda a, b: a + d_weight * gan_on * b,
+                    g_main, g_gan)
             main = m.pop('_main')
             l_gan = m.pop('_l_gan')
             metrics = m
-            leaf_m = _get_leaf(g_main, self._anchor)
-            leaf_g = _get_leaf(g_gan, self._anchor)
-            d_weight = _l2norm(leaf_m) / (_l2norm(leaf_g) + 1e-4)
-            d_weight = jnp.clip(d_weight, 0.0, 1.0) \
-                * self.scale_adaptive_gan_weight
-            gan_on_bool = current_iter > self.net_d_start_iter
-            gan_on = gan_on_bool.astype(jnp.float32)
-            grads = jax.tree.map(lambda a, b: a + d_weight * gan_on * b,
-                                 g_main, g_gan)
             updates, opt_g = self.opt_g_tx.update(grads, state.opt_g,
                                                   p_train)
             params_g = {**optax.apply_updates(p_train, updates), **frozen}

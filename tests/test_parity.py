@@ -131,6 +131,43 @@ def test_codeformer_parity_full(rng):
                                    rtol=1e-2, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_codeformer_parity_production_config(rng):
+    """Torch parity at the SHIPPED restoration topology — dim_embd 512,
+    8 heads, 9 layers, codebook 1024 (inference_codeformer.py:135-136) —
+    at full 512x512. test_codeformer_parity_full covers the same spatial
+    extent at a reduced embedding width; this run closes the remaining
+    gap where a head-dim-dependent bug (attention scaling, in_proj
+    split, fc widths) could hide."""
+    t = cf_ref.CodeFormer(dim_embd=512, n_head=8, n_layers=9,
+                          codebook_size=1024, latent_size=256,
+                          connect_list=['32', '64', '128', '256'],
+                          fix_modules=None).eval()
+    with torch.no_grad():
+        t.position_emb.normal_(0, 0.02)
+    x = (rng.normal(size=(1, 512, 512, 3)) * 0.2).astype(np.float32)
+    with torch.no_grad():
+        ref_out, ref_logits, ref_lq = t(_nchw(x), w=0.6, adain=True)
+
+    m = CodeFormer(dim_embd=512, n_head=8, n_layers=9,
+                   codebook_size=1024, latent_size=256,
+                   connect_list=('32', '64', '128', '256'))
+    variables = torch_state_dict_to_flax(t.state_dict())
+    out, logits, lq = m.apply(variables, jnp.asarray(x), 0.6, adain=True)
+
+    np.testing.assert_allclose(np.asarray(lq), _nhwc(ref_lq),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                               rtol=1e-3, atol=5e-4)
+    ref_idx = ref_logits.argmax(-1).numpy()
+    idx = np.asarray(jnp.argmax(logits, -1))
+    match = (idx == ref_idx).mean()
+    assert match >= 0.995, f'code selection match {match}'
+    if match == 1.0:
+        np.testing.assert_allclose(np.asarray(out), _nhwc(ref_out),
+                                   rtol=1e-2, atol=1e-3)
+
+
 def test_converter_tree_structure_matches_init():
     """The converted torch state dict must produce exactly the parameter
     tree flax initializes — catches silent key drift in either direction."""
