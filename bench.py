@@ -193,6 +193,20 @@ def bench_e2e(n_frames=32, frame_hw=(512, 683), chunk=16,
     return fps
 
 
+def bench_train(batch=8, iters=8):
+    """Stage-III joint train step (real trainer: idx_gt from the frozen
+    VQGAN, code CE + feat L2 + L1 + LPIPS + adaptive-weight hinge GAN,
+    d step, EMA) in faces/s on one chip, bf16, at the measured best
+    single-chip batch (docs/roofline.md round-4 training section)."""
+    import os.path as osp
+    sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)),
+                                'scripts'))
+    from bench_train_step import _patch_random_vgg, bench_batch
+    _patch_random_vgg()
+    dt = bench_batch(batch, 512, iters, 'bf16')
+    return batch / dt
+
+
 def main():
     import jax
     jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
@@ -212,6 +226,7 @@ def main():
     e2e_fps = safe(bench_e2e)
     e2e_4face = safe(bench_e2e, faces_per_frame=4)
     folder_fps = safe(bench_e2e, folder_mode=True)
+    train_fps = safe(bench_train)
 
     if aligned <= 0:
         print(json.dumps({'metric': 'aligned512_faces_per_sec_per_chip',
@@ -226,6 +241,7 @@ def main():
         'video_frames_per_sec': round(e2e_fps, 2),
         'video_frames_per_sec_4face': round(e2e_4face, 2),
         'whole_image_images_per_sec': round(folder_fps, 2),
+        'train_stage3_faces_per_sec_bf16': round(train_fps, 2),
     }))
 
 

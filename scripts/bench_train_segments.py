@@ -115,7 +115,12 @@ def main():
         return (code_total + l_pix + l_percep, l_gan), out
 
     def _first_leaf(tree):
-        return jax.tree.leaves(tree)[0].ravel()[0].astype(jnp.float32)
+        """Chain scalar over the WHOLE tree. Chaining on a single leaf
+        would let XLA dead-code-eliminate every other leaf's backward-
+        weight kernel (measured: pull segments undercounting by ~2x,
+        supersets timing below subsets)."""
+        return sum(jnp.sum(x.astype(jnp.float32))
+                   for x in jax.tree.leaves(tree))
 
     # ---------------- segments: (carry_scalar) -> new scalar ----------
     def seg_idx(s, vq, gt):
@@ -158,6 +163,23 @@ def main():
         merged = {**p_train, **frozen}
         return _pulls(s, merged, {}, x, gt, idx_gt, 2)
 
+    def seg_single(s, p_train, frozen, x, gt, idx_gt):
+        """The round-4 shipped accum==1 scheme (trainers.py
+        micro_single): two anchor-only d_weight probes (DCE'd to the
+        decoder-tail + loss-head backward) + ONE full backward with
+        the combined cotangent (1, d_weight)."""
+        from codeformer_tpu.train.trainers import _get_leaf, _l2norm
+
+        def f(dp):
+            return losses(dp, frozen, x + s * 1e-6, gt, idx_gt)
+        vals, vjp_fn, _ = jax.vjp(f, p_train, has_aux=True)
+        leaf_m = _get_leaf(vjp_fn((1.0, 0.0))[0], model._anchor)
+        leaf_g = _get_leaf(vjp_fn((0.0, 1.0))[0], model._anchor)
+        dw = jnp.clip(_l2norm(leaf_m) / (_l2norm(leaf_g) + 1e-4),
+                      0.0, 1.0) * 0.8
+        grads = vjp_fn((jnp.float32(1.0), dw))[0]
+        return _first_leaf(grads) * 1e-6
+
     def seg_dstep(s, params_d, d_stats, gt, x):
         (_, _), d_grads = jax.value_and_grad(
             model._d_loss_fn, has_aux=True)(
@@ -182,11 +204,16 @@ def main():
             lambda ops: lax.fori_loop(
                 0, args.iters, lambda i, s: seg(s, *ops),
                 jnp.float32(0.0)))
-        # force with a VALUE FETCH: block_until_ready does not block
-        # over the axon tunnel (docs/roofline.md)
-        float(fn(op_args))                # compile + hot-start chain
-        t0 = time.perf_counter()
-        float(fn(op_args))
+        try:
+            # force with a VALUE FETCH: block_until_ready does not block
+            # over the axon tunnel (docs/roofline.md)
+            float(fn(op_args))            # compile + hot-start chain
+            t0 = time.perf_counter()
+            float(fn(op_args))
+        except Exception as e:  # OOM at large B (e.g. pull2_f holds two
+            print(f'{name:10s}   FAILED: {type(e).__name__} '
+                  f'(likely HBM OOM)', flush=True)  # full grad trees)
+            return float('nan')
         dt = (time.perf_counter() - t0) / args.iters * 1000
         print(f'{name:10s} {dt:9.2f} ms/iter', flush=True)
         return dt
@@ -207,6 +234,8 @@ def main():
                            x_in, gt, idx_gt)
     t['pull2_f'] = measure('pull2_f', seg_pull2_f, p_train, frozen,
                            x_in, gt, idx_gt)
+    t['single'] = measure('single', seg_single, p_train, frozen,
+                          x_in, gt, idx_gt)
     t['dstep'] = measure('dstep', seg_dstep, params_d, d_stats, gt,
                          x_in)
     t['opt'] = measure('opt', seg_opt, p_train, grads0, opt_state0,
@@ -223,12 +252,14 @@ def main():
           f"{t['pull1_f'] - t['pull1_t']:8.2f} ms")
     print(f"  frozen-dW waste (2 pulls):       "
           f"{t['pull2_f'] - t['pull2_t']:8.2f} ms")
-    shipped = (t['idx'] + t['pull2_t'] + t['dstep'] + t['opt'])
-    print(f"  sum (new scheme: idx+pull2_t+dstep+opt) = {shipped:8.2f} "
+    print(f"  single-backward vs two-pull:     "
+          f"{t['single'] - t['pull2_t']:8.2f} ms")
+    shipped = (t['idx'] + t['single'] + t['dstep'] + t['opt'])
+    print(f"  sum (r4 shipped: idx+single+dstep+opt) = {shipped:8.2f} "
           f"ms/iter -> {B / shipped * 1000:6.2f} faces/s")
-    old = (t['idx'] + t['pull2_f'] + t['dstep'] + t['opt'])
-    print(f"  sum (round-3 scheme: idx+pull2_f+dstep+opt) = {old:8.2f} "
-          f"ms/iter")
+    old = (t['idx'] + t['pull2_t'] + t['dstep'] + t['opt'])
+    print(f"  sum (r3 scheme: idx+pull2_t+dstep+opt) = {old:8.2f} "
+          f"ms/iter -> {B / old * 1000:6.2f} faces/s")
 
 
 if __name__ == '__main__':
