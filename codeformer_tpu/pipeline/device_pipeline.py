@@ -178,17 +178,29 @@ class DeviceRestorePipeline:
             soft = _unpack(inv_soft_mask)
 
             if roi:
-                # sequential window blends (later faces overwrite, like
-                # the reference's per-face loop)
-                def body(s, acc):
-                    fi, y0, x0 = roi_pos[s, 0], roi_pos[s, 1], roi_pos[s, 2]
+                # Window blends with the reference's per-face overwrite
+                # order, but batched: slot s = i*f + k means round k
+                # touches ONE window per frame, so each round is a
+                # vmapped (per-frame) dynamic-slice blend and only the
+                # f rounds are sequential — c*f serial window updates
+                # collapse to f (64 -> 4 at 4 faces/frame). Within a
+                # frame the k-order (later faces overwrite) is exactly
+                # preserved across rounds; dummy slots blend with
+                # soft==0 coverage (a no-op) wherever they land.
+                def blend_one(frame, y0, x0, sft, pst):
                     patch = jax.lax.dynamic_slice(
-                        acc, (fi, y0, x0, 0), (1, roi, roi, 3))[0]
-                    blended = soft[s] * pasted[s] + (1 - soft[s]) * patch
+                        frame, (y0, x0, 0), (roi, roi, 3))
                     return jax.lax.dynamic_update_slice(
-                        acc, blended[None], (fi, y0, x0, 0))
+                        frame, sft * pst + (1 - sft) * patch,
+                        (y0, x0, 0))
 
-                out = jax.lax.fori_loop(0, c * f, body, canv)
+                def round_body(k, acc):
+                    idxs = jnp.arange(c) * f + k
+                    return jax.vmap(blend_one)(
+                        acc, roi_pos[idxs, 1], roi_pos[idxs, 2],
+                        soft[idxs], pasted[idxs])
+
+                out = jax.lax.fori_loop(0, f, round_body, canv)
             else:
                 pasted = pasted.reshape(c, f, hc, wc, 3)
                 soft = soft.reshape(c, f, hc, wc, 1)

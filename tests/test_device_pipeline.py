@@ -168,6 +168,80 @@ def test_device_pipeline_matches_classic_path(tiny_restorer):
         assert np.median(diff) <= 1.0
 
 
+class _TwoFaceDetector(_InjectedDetector):
+    """Two OVERLAPPING synthetic faces per frame."""
+    OFFSETS = ((-150.0, -150.0), (-60.0, -100.0))
+
+    def _det_rows(self, n, det_scale, frame_hw):
+        t = np.array(
+            [[192.98138, 239.94708], [318.90277, 240.1936],
+             [256.63416, 314.01935], [201.26117, 371.41043],
+             [313.08905, 371.15118]], np.float32)
+        rows = []
+        for ox, oy in self.OFFSETS:
+            lm = (t * 0.45 + np.array([frame_hw[1] / 2 + ox,
+                                       frame_hw[0] / 2 + oy],
+                                      np.float32)) * det_scale
+            row = np.zeros(15, np.float32)
+            row[0:4] = [lm[:, 0].min() - 20, lm[:, 1].min() - 40,
+                        lm[:, 0].max() + 20, lm[:, 1].max() + 30]
+            row[4] = 0.99
+            row[5:15] = lm.reshape(-1)
+            rows.append(row)
+        return np.stack(rows)
+
+    def batched_detect_faces(self, frames, conf_threshold=0.8,
+                             nms_threshold=0.4):
+        b, h, w = np.asarray(frames).shape[:3]
+        det_scale = h / self.frame_hw[0]
+        return [self._det_rows(2, det_scale, self.frame_hw)
+                for _ in range(b)]
+
+    def batched_detect_device(self, frames_dev, det_hw,
+                              conf_threshold=0.8, nms_threshold=0.4):
+        b, h, w = frames_dev.shape[:3]
+        det_scale = det_hw[0] / h
+        rows = self._det_rows(2, det_scale, (h, w))
+        dets = np.zeros((b, self.max_faces, 15), np.float32)
+        dets[:, :2] = rows
+        valids = np.zeros((b, self.max_faces), bool)
+        valids[:, :2] = True
+        return dets, valids
+
+
+@pytest.mark.slow
+def test_device_pipeline_multiface_overlap(tiny_restorer):
+    """Two overlapping faces per frame: the batched ROI composite
+    (vmapped per-frame window blends, one round per face slot) must
+    reproduce the reference's sequential per-face overwrite order —
+    later faces blend over earlier ones where their windows overlap
+    (face_restoration_helper.py paste loop)."""
+    from codeformer_tpu.pipeline.device_pipeline import DeviceRestorePipeline
+    from codeformer_tpu.pipeline.video import restore_video_frames
+
+    rng = np.random.default_rng(3)
+    base = rng.uniform(30, 220, (540, 720, 3)).astype(np.uint8)
+    frames = [base.copy(), np.roll(base, 7, axis=0)]
+
+    def helper():
+        h = _Helper(use_parse=False)
+        h.face_detector = _TwoFaceDetector()
+        return h
+
+    classic = restore_video_frames(
+        frames, tiny_restorer, helper(), w=0.5, upscale=2, resize=640)
+    pipe = DeviceRestorePipeline(tiny_restorer, helper(), upscale=2,
+                                 frame_chunk=2, detect_resize=640, w=0.5)
+    fused, faces = pipe.restore_frames(frames, return_faces=True)
+
+    assert [len(f) for f in faces] == [2, 2]
+    assert len(classic) == len(fused) == 2
+    for a, b in zip(classic, fused):
+        diff = np.abs(a.astype(np.float32) - b.astype(np.float32))
+        assert diff.mean() < 3.0, diff.mean()
+        assert np.median(diff) <= 1.0
+
+
 @pytest.mark.slow
 def test_device_pipeline_no_faces(tiny_restorer):
     """Frames with zero detections must come back as the plain 2x
