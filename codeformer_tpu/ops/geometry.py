@@ -18,7 +18,8 @@ import numpy as np
 def warp_affine(img: jax.Array, matrix: jax.Array,
                 out_hw: Tuple[int, int],
                 border_value=0.0,
-                return_coverage: bool = False) -> jax.Array:
+                return_coverage: bool = False,
+                img_idx: jax.Array = None) -> jax.Array:
     """Bilinear affine warp of one NHWC image batch with per-item 2x3
     matrices (cv2.warpAffine semantics: `matrix` maps SOURCE coords ->
     DEST coords; we invert it internally like cv2 does without
@@ -31,8 +32,17 @@ def warp_affine(img: jax.Array, matrix: jax.Array,
     zero border, (B, out_h, out_w, 1), computed FREE from the same
     weights/validity — the paste-back compositor's square mask without a
     second (expensive) gather pass.
+
+    img_idx (M,) int32: warp M outputs whose m-th source is
+    img[img_idx[m]] (matrix then must be (M, 2, 3)). Exactly equivalent
+    to warp_affine(img[img_idx], matrix, ...) but the corner-stacked
+    gather source is built ONCE over the B distinct images and the
+    frame offset rides the gather's linear index — at 4 faces/frame the
+    materialized img[img_idx] quadruples the stack bytes for nothing
+    (measured 440 ms/chunk align warp, scripts/bench_e2e_stages.py
+    --faces-per-frame 4).
     """
-    b = img.shape[0]
+    b = matrix.shape[0] if img_idx is not None else img.shape[0]
     out_h, out_w = out_hw
 
     # full 3x3 then invert: dest->source mapping
@@ -49,7 +59,7 @@ def warp_affine(img: jax.Array, matrix: jax.Array,
 
     src = jnp.einsum('bij,pj->bpi', inv, dest)  # (B, P, 2) = (x, y)
     out, cov = _bilinear_sample(img, src[..., 0], src[..., 1],
-                                border_value)
+                                border_value, img_idx=img_idx)
     out = out.reshape(b, out_h, out_w, img.shape[-1])
     if return_coverage:
         return out, cov.reshape(b, out_h, out_w, 1)
@@ -57,7 +67,7 @@ def warp_affine(img: jax.Array, matrix: jax.Array,
 
 
 def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
-                     border_value=0.0):
+                     border_value=0.0, img_idx: jax.Array = None):
     """Sample img (B,H,W,C) at float coords x,y (B,P) with bilinear
     interpolation and constant border. Returns (values (B,P,C),
     coverage (B,P,1)) where coverage is the same sample of an all-ones
@@ -87,7 +97,15 @@ def _bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
         axis=-1)  # (B, H+1, W+1, 4C)
     yy = jnp.clip(y0i + 1, 0, h)
     xx = jnp.clip(x0i + 1, 0, w)
-    if img.dtype.itemsize == 1:
+    if img_idx is not None:
+        # the m-th output row samples source image img[img_idx[m]]:
+        # one flat gather over all B stacked sources, the image offset
+        # folded into the linear index — never materializes img[img_idx]
+        flat = st.reshape(b * (h + 1) * (w + 1), 4 * c)
+        lin = (img_idx.astype(jnp.int32)[:, None] * ((h + 1) * (w + 1))
+               + yy * (w + 1) + xx)
+        g = flat[lin]
+    elif img.dtype.itemsize == 1:
         # uint8: a flat linear-index gather is fastest (9.5 ns/pt vs
         # 10.7 for 2D indices, scripts/bench_warp.py v5/v6)
         flat = st.reshape(st.shape[0], (h + 1) * (w + 1), 4 * c)

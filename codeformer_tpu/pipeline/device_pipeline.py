@@ -89,10 +89,14 @@ class DeviceRestorePipeline:
             # (M,2,3) frame->template. Returns (M,face,face,3) uint8
             # RGB crops (the restorer's input layout). Frames stay
             # uint8 through the warp gather (bytes move, math is f32
-            # — exact and ~2x faster, ops/geometry._bilinear_sample).
-            sel = frames[frame_idx][..., ::-1]
-            faces = warp_affine(sel, affines, (face, face),
-                                border_value=border)
+            # — exact and ~2x faster, ops/geometry._bilinear_sample),
+            # warped in BGR with the frame index folded into the gather
+            # (img_idx: materializing frames[frame_idx] duplicates the
+            # corner-stack bytes per face); RGB flip happens on the
+            # small face crops.
+            faces = warp_affine(frames, affines, (face, face),
+                                border_value=border[::-1],
+                                img_idx=frame_idx)[..., ::-1]
             return jnp.clip(jnp.round(faces), 0, 255).astype(jnp.uint8)
 
         return run
@@ -147,24 +151,27 @@ class DeviceRestorePipeline:
                                     (c, h_up, w_up, 3), 'linear')
             canv = jnp.pad(canv, ((0, 0), (0, hc - h_up),
                                   (0, wc - w_up), (0, 0)))
-            faces = restored_rgb[face_map][..., ::-1]  # BGR, uint8
             # fused multi-channel warp + free coverage mask + lane-packed
             # mask filtering (see compositor_xla._build_graph). The warp
             # source stays uint8 so the gather moves bytes (exact for
             # the u8 faces; the parse mask is quantized to 1/255 — a
             # <=0.5/255 blend-weight deviation, well under the edge-
-            # width quantization already documented in compositor_xla)
+            # width quantization already documented in compositor_xla).
+            # The cf->M slot indirection rides the gather via img_idx
+            # (never materializes restored_rgb[face_map]); faces warp in
+            # RGB and flip to BGR on the warped windows.
             if use_parse:
                 m = pids.shape[0]
-                pm = _shape_parse_masks(pids, face, m)[face_map]
+                pm = _shape_parse_masks(pids, face, m)
                 pm_u8 = jnp.clip(jnp.round(pm * 255.0), 0,
                                  255).astype(jnp.uint8)
-                src = jnp.concatenate([faces, pm_u8], axis=-1)
+                src = jnp.concatenate([restored_rgb, pm_u8], axis=-1)
             else:
-                src = faces
+                src = restored_rgb
             warped, inv_mask = warp_affine(src, inv_affines, out_hw,
-                                           return_coverage=True)
-            inv_restored = warped[..., :3]
+                                           return_coverage=True,
+                                           img_idx=face_map)
+            inv_restored = warped[..., 2::-1]  # RGB -> BGR
             packed = _pack(inv_mask)
             erosion1 = erode(packed, k_erode)
             pasted = _unpack(erosion1) * inv_restored

@@ -44,6 +44,33 @@ def test_warp_affine_gray_border():
     assert abs(out[45, 45, 0] - 200.0) < 1e-4  # warped content
 
 
+def test_warp_affine_img_idx_exact():
+    """img_idx indirection must be bit-identical to warping the
+    materialized selection img[img_idx] — for uint8 AND float sources,
+    with coverage, including repeated and out-of-order indices."""
+    rng = np.random.default_rng(5)
+    idx = np.array([2, 0, 2, 1, 1, 2], np.int32)
+    ms = []
+    for k in range(len(idx)):
+        th = 0.1 * k - 0.2
+        ms.append([[np.cos(th) * (0.8 + 0.1 * k),
+                    -np.sin(th), 5.0 * k - 10],
+                   [np.sin(th), np.cos(th) * (0.8 + 0.1 * k), 3.0 * k]])
+    ms = np.asarray(ms, np.float32)
+    for dtype in (np.uint8, np.float32):
+        img = rng.uniform(0, 255, (3, 60, 72, 3)).astype(dtype)
+        ref, ref_cov = warp_affine(jnp.asarray(img)[jnp.asarray(idx)],
+                                   jnp.asarray(ms), (48, 40),
+                                   border_value=135.0,
+                                   return_coverage=True)
+        out, cov = warp_affine(jnp.asarray(img), jnp.asarray(ms),
+                               (48, 40), border_value=135.0,
+                               return_coverage=True,
+                               img_idx=jnp.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(cov), np.asarray(ref_cov))
+
+
 def test_estimate_similarity_matches_cv2():
     rng = np.random.default_rng(1)
     src = FACE_TEMPLATE_512 + rng.normal(0, 20, (5, 2)).astype(np.float32)
