@@ -24,14 +24,28 @@ import time
 A100_REF_FACES_PER_SEC = 12.0
 
 
-def bench_aligned(n_batches=(1, 16, 32, 64, 104)):
+def _is_oom(exc):
+    """True only for a genuine memory envelope (RESOURCE_EXHAUSTED /
+    out-of-memory). Transient tunnel/compile flakes (INTERNAL, 'read
+    body', connection resets) must NOT look like OOM: in round 4 one
+    'remote_compile: read body: response body closed' at B=64 broke the
+    bucket loop and the B=104 headline (~157 f/s) never ran, so the
+    artifact under-reported this machine by 17% (BENCH_r04.json)."""
+    msg = f'{type(exc).__name__}: {exc}'.lower()
+    return ('resource_exhausted' in msg or 'out of memory' in msg
+            or 'out-of-memory' in msg or 'oom' in msg.split())
+
+
+def bench_aligned(n_batches=(1, 16, 32, 64, 104), attempts=3):
     # 104 is the largest bucket that fits one v5e: the forward's live
     # 512^2 activations are ~144MB/face, so B=128 needs 18.02G vs 16G
     # HBM and B=112 lands at 16.02G with weights — both genuine OOM,
     # not compiler flakiness (scripts/diag_b128.py; buffer donation
     # doesn't help since the inputs are a fraction of the activations).
-    # The loop breaks at the first failing bucket, keeping earlier
-    # results.
+    # Failure policy per bucket: genuine OOM breaks (larger buckets
+    # can't fit either); anything else — tunnel resets, remote-compile
+    # flakes, IO errors — is retried `attempts` times and then SKIPPED,
+    # so one transient can never erase the larger buckets' results.
     """Aligned 512x512 faces/sec through the bare CodeFormer graph."""
     import os
     import jax
@@ -57,28 +71,38 @@ def bench_aligned(n_batches=(1, 16, 32, 64, 104)):
     for batch in n_batches:
         x = jax.random.uniform(rng, (batch, 512, 512, 3), jnp.bfloat16,
                                -1.0, 1.0)
-        try:
-            s = fwd_sum(variables, x, 0.5)  # compile + warmup
-            n_iter = max(4, int(64 / batch))
-            # chain iterations through a data dependency (w_i depends on
-            # the previous output) so ONE final scalar fetch forces the
-            # whole sequence — per-call tunnel round trips (~27ms) would
-            # otherwise tax every iteration. The FIRST chained sequence
-            # of a process runs ~20-60 ms/iter hot (measured tunnel
-            # warm-up artifact), so run one full untimed chain first.
-            for _ in range(n_iter):
-                s = fwd_sum(variables, x, 0.5 + 0.0 * s)
-            float(s)
-            t0 = time.perf_counter()
-            for _ in range(n_iter):
-                s = fwd_sum(variables, x, 0.5 + 0.0 * s)
-            float(s)
-            dt = time.perf_counter() - t0
-            results[batch] = batch * n_iter / dt
-        except Exception as e:  # OOM at large batch etc.
-            print(f'batch {batch} failed: {type(e).__name__}: {e}',
-                  file=sys.stderr)
-            break
+        oom = False
+        for attempt in range(attempts):
+            try:
+                s = fwd_sum(variables, x, 0.5)  # compile + warmup
+                n_iter = max(4, int(64 / batch))
+                # chain iterations through a data dependency (w_i
+                # depends on the previous output) so ONE final scalar
+                # fetch forces the whole sequence — per-call tunnel
+                # round trips (~27ms) would otherwise tax every
+                # iteration. The FIRST chained sequence of a process
+                # runs ~20-60 ms/iter hot (measured tunnel warm-up
+                # artifact), so run one full untimed chain first.
+                for _ in range(n_iter):
+                    s = fwd_sum(variables, x, 0.5 + 0.0 * s)
+                float(s)
+                t0 = time.perf_counter()
+                for _ in range(n_iter):
+                    s = fwd_sum(variables, x, 0.5 + 0.0 * s)
+                float(s)
+                dt = time.perf_counter() - t0
+                results[batch] = batch * n_iter / dt
+                break
+            except Exception as e:
+                oom = _is_oom(e)
+                kind = 'OOM' if oom else 'transient'
+                print(f'batch {batch} attempt {attempt + 1}/{attempts} '
+                      f'failed ({kind}): {type(e).__name__}: {e}',
+                      file=sys.stderr)
+                if oom:
+                    break
+        if oom:
+            break  # genuine envelope: larger buckets can't fit either
     for b, v in results.items():
         print(f'aligned batch {b}: {v:.2f} faces/s', file=sys.stderr)
     return max(results.values()) if results else 0.0
@@ -214,14 +238,19 @@ def main():
     aligned = bench_aligned()
 
     def safe(fn, *a, **kw):
-        try:
-            return fn(*a, **kw)
-        except Exception as e:
-            import traceback
-            traceback.print_exc()
-            print(f'{fn.__name__}{kw} failed: {type(e).__name__}: {e}',
-                  file=sys.stderr)
-            return 0.0
+        # transient tunnel/compile flakes get 3 attempts; genuine OOM
+        # doesn't (retrying can't shrink the envelope)
+        for attempt in range(3):
+            try:
+                return fn(*a, **kw)
+            except Exception as e:
+                import traceback
+                traceback.print_exc()
+                print(f'{fn.__name__}{kw} attempt {attempt + 1}/3 '
+                      f'failed: {type(e).__name__}: {e}', file=sys.stderr)
+                if _is_oom(e):
+                    break
+        return 0.0
 
     e2e_fps = safe(bench_e2e)
     e2e_4face = safe(bench_e2e, faces_per_frame=4)

@@ -266,11 +266,39 @@ class BaseTrainer:
             d = load_params(self._net_path('d', tag))
             restored.update(params_d=d['params'],
                             d_stats=d.get('batch_stats', {}))
-        # optimizer states: restore leaf values into the existing treedefs
+        # optimizer states: restore BY STRUCTURE into the existing
+        # treedefs (from_state_dict matches namedtuple fields / dict keys
+        # by name, not flat leaf order). Checkpoints written before the
+        # trainable-subtree change carry moments for frozen leaves too;
+        # those extra keys are pruned with a logged warning instead of
+        # failing the resume on a leaf-count mismatch.
+        from flax import serialization
+
+        def _prune_extra(template_sd, saved, trail, dropped):
+            if not isinstance(template_sd, dict) or \
+                    not isinstance(saved, dict):
+                return saved
+            out = {}
+            for k, v in saved.items():
+                if k in template_sd:
+                    out[k] = _prune_extra(template_sd[k], v,
+                                          trail + (k,), dropped)
+                else:
+                    dropped.append('/'.join(trail + (k,)))
+            return out
+
         def _refill(template, saved):
-            leaves = jax.tree.leaves(saved)
-            treedef = jax.tree.structure(template)
-            return jax.tree.unflatten(treedef, leaves)
+            template_sd = serialization.to_state_dict(template)
+            dropped = []
+            pruned = _prune_extra(template_sd, saved, (), dropped)
+            if dropped:
+                self.logger.warning(
+                    f'resume: dropping {len(dropped)} optimizer-state '
+                    f'entries absent from the current (trainable-'
+                    f'subtree) optimizer layout, e.g. {dropped[:3]} — '
+                    f'these are frozen-leaf moments from a pre-'
+                    f'trainable-subtree checkpoint')
+            return serialization.from_state_dict(template, pruned)
         restored['opt_g'] = _refill(self.state.opt_g, blob['opt_g'])
         if self.state.opt_d is not None:
             restored['opt_d'] = _refill(self.state.opt_d, blob['opt_d'])
@@ -313,18 +341,26 @@ class BaseTrainer:
             n = self.mesh.shape['data']
             b = next(iter(batch.values())).shape[0]
             if b % n:
-                target = -(-b // n) * n
-                if target % b:
-                    raise ValueError(
-                        f'training batch size {b} cannot be evenly '
-                        f'replicated onto the data-parallel mesh '
-                        f'({n} devices): uneven repetition-padding '
-                        f'would bias gradients (some samples would '
-                        f'enter the loss mean more often than others). '
-                        f'Set batch_size_per_gpu so that batch divides '
-                        f'the device count (or vice versa), or '
-                        f'num_devices: 1.')
-                batch = {k: np.concatenate([v] * (target // b))
+                # pad to lcm(b, n) slots: every sample is duplicated the
+                # SAME number of times, so the mean-reduced losses and
+                # gradients stay bit-identical to the unpadded batch
+                # (b=6 on 8 devices -> 24 slots, 4 copies each). The
+                # replication factor costs memory (per-device batch is
+                # lcm/n instead of ~b/n), so it is logged once.
+                import math
+                target = b * n // math.gcd(b, n)
+                factor = target // b
+                if not getattr(self, '_warned_lcm_pad', False):
+                    self._warned_lcm_pad = True
+                    self.logger.warning(
+                        f'training batch size {b} does not divide the '
+                        f'data-parallel mesh ({n} devices); replicating '
+                        f'each sample {factor}x to {target} slots '
+                        f'(bias-free, but per-device batch is '
+                        f'{target // n} instead of ~{b / n:.1f} — set '
+                        f'batch_size_per_gpu divisible by the device '
+                        f'count to avoid the memory overhead)')
+                batch = {k: np.concatenate([v] * factor)
                          for k, v in batch.items()}
             return {
                 k: jax.device_put(
@@ -452,29 +488,34 @@ class BaseTrainer:
         results: Dict[str, list] = {k: [] for k in metrics_opt}
         w = float(getattr(self, 'fidelity_weight', 1.0))
         for idx, batch in enumerate(dataloader):
-            paths = (batch.get('lq_path') or batch.get('gt_path')
-                     or [f'{idx:08d}'])
-            img_name = osp.splitext(osp.basename(paths[0]))[0]
             lq = np.asarray(batch['lq'] if 'lq' in batch
                             else batch['in'])
-            sr_img = batch_to_imgs(np.asarray(self.test(lq, w=w)))[0]
-            if save_img:
-                if self.opt.get('is_train'):
-                    save_path = osp.join(
-                        self.opt['path']['visualization'], img_name,
-                        f'{img_name}_{current_iter}.png')
-                else:
-                    suffix = val_opt.get('suffix') or self.opt['name']
-                    save_path = osp.join(
-                        self.opt['path']['visualization'],
-                        f'{img_name}_{suffix}.png')
-                os.makedirs(osp.dirname(save_path), exist_ok=True)
-                cv2.imwrite(save_path, sr_img)
-            if 'gt' in batch:
-                gt_img = batch_to_imgs(np.asarray(batch['gt']))[0]
-                for name, m_opt in metrics_opt.items():
-                    results[name].append(calculate_metric(
-                        {'img': sr_img, 'img2': gt_img}, m_opt))
+            paths = (batch.get('lq_path') or batch.get('gt_path')
+                     or [f'{idx:08d}_{j}' for j in range(lq.shape[0])])
+            # every image of the batch counts — val loaders with
+            # batch_size > 1 must not silently drop samples
+            sr_imgs = batch_to_imgs(np.asarray(self.test(lq, w=w)))
+            gt_imgs = (batch_to_imgs(np.asarray(batch['gt']))
+                       if 'gt' in batch else None)
+            for j, sr_img in enumerate(sr_imgs):
+                img_name = osp.splitext(osp.basename(
+                    paths[min(j, len(paths) - 1)]))[0]
+                if save_img:
+                    if self.opt.get('is_train'):
+                        save_path = osp.join(
+                            self.opt['path']['visualization'], img_name,
+                            f'{img_name}_{current_iter}.png')
+                    else:
+                        suffix = val_opt.get('suffix') or self.opt['name']
+                        save_path = osp.join(
+                            self.opt['path']['visualization'],
+                            f'{img_name}_{suffix}.png')
+                    os.makedirs(osp.dirname(save_path), exist_ok=True)
+                    cv2.imwrite(save_path, sr_img)
+                if gt_imgs is not None:
+                    for name, m_opt in metrics_opt.items():
+                        results[name].append(calculate_metric(
+                            {'img': sr_img, 'img2': gt_imgs[j]}, m_opt))
         out = {}
         for name, vals in results.items():
             if not vals:

@@ -17,6 +17,7 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['JAX_PLATFORM_NAME'] = 'cpu'
 
 import jax
+import pytest
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_platform_name', 'cpu')
@@ -26,3 +27,34 @@ jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_cpu')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
 assert jax.default_backend() == 'cpu', (
     f'tests must run on CPU, got {jax.default_backend()}')
+
+
+def pytest_collection_modifyitems(config, items):
+    """Guard against silent test shadowing: a module that defines the
+    same test NAME twice only collects the last definition (Python
+    rebinding), so the first becomes dead code the suite never runs.
+    That happened once (two test_codeformer_parity_production_config
+    defs, round 4); fail collection loudly if any module source binds a
+    collected test name more than once."""
+    import ast
+    checked = set()
+    for item in items:
+        path = getattr(item, 'fspath', None)
+        if path is None or str(path) in checked:
+            continue
+        checked.add(str(path))
+        try:
+            tree = ast.parse(open(str(path)).read())
+        except (OSError, SyntaxError):
+            continue
+        seen, dupes = set(), set()
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) \
+                    and node.name.startswith('test'):
+                if node.name in seen:
+                    dupes.add(node.name)
+                seen.add(node.name)
+        if dupes:
+            raise pytest.UsageError(
+                f'{path}: duplicate test definitions shadow earlier '
+                f'ones (only the last runs): {sorted(dupes)}')

@@ -132,13 +132,14 @@ def test_codeformer_parity_full(rng):
 
 
 @pytest.mark.slow
-def test_codeformer_parity_production_config(rng):
+def test_codeformer_parity_production_config_w06_tight(rng):
     """Torch parity at the SHIPPED restoration topology — dim_embd 512,
     8 heads, 9 layers, codebook 1024 (inference_codeformer.py:135-136) —
-    at full 512x512. test_codeformer_parity_full covers the same spatial
-    extent at a reduced embedding width; this run closes the remaining
-    gap where a head-dim-dependent bug (attention scaling, in_proj
-    split, fc widths) could hide."""
+    at full 512x512, w=0.6, tight logits tolerance (atol 5e-4).
+    test_codeformer_parity_full covers the same spatial extent at a
+    reduced embedding width; this run closes the remaining gap where a
+    head-dim-dependent bug (attention scaling, in_proj split, fc widths)
+    could hide. Sibling _w05_tiered runs w=0.5 with tiered tolerances."""
     t = cf_ref.CodeFormer(dim_embd=512, n_head=8, n_layers=9,
                           codebook_size=1024, latent_size=256,
                           connect_list=['32', '64', '128', '256'],
@@ -224,13 +225,15 @@ def test_position_embedding_sine_parity(rng):
 
 
 @pytest.mark.slow
-def test_codeformer_parity_production_config(rng):
+def test_codeformer_parity_production_config_w05_tiered(rng):
     """Torch parity at the PRODUCTION transformer width: dim_embd 512,
-    9 layers, 8 heads, codebook 1024 (inference_codeformer.py:135-136).
-    test_codeformer_parity_full runs the full 512^2 backbone but a
-    reduced token path (dim 64 / 2 layers / 4 heads); a head-dim-
-    dependent bug (attention scaling, in_proj split, per-head pos-emb
-    broadcast) would slip through it. One full-scale run closes that."""
+    9 layers, 8 heads, codebook 1024 (inference_codeformer.py:135-136),
+    w=0.5 with tiered logits tolerance (9 pre-LN layers at width 512
+    accumulate more float drift; see inline comment). Sibling
+    _w06_tight is the w=0.6 tight-tolerance variant of the same
+    topology. One full-scale run closes the head-dim-dependent gap
+    (attention scaling, in_proj split, per-head pos-emb broadcast) that
+    the reduced-width test_codeformer_parity_full can't see."""
     t = cf_ref.CodeFormer(dim_embd=512, n_head=8, n_layers=9,
                           codebook_size=1024, latent_size=256,
                           connect_list=['32', '64', '128', '256'],
