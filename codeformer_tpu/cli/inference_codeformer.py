@@ -75,6 +75,16 @@ def build_parser() -> argparse.ArgumentParser:
                         'folder images), else fall back to the classic '
                         'per-stage path. on: require it (error if '
                         'ineligible). off: always classic.')
+    p.add_argument('--parse_res', type=int, default=256,
+                   choices=[256, 512],
+                   help='ParseNet evaluation resolution in the fused '
+                        'pipeline. 512 = strict reference semantics '
+                        '(the parser sees the full restored face); 256 '
+                        '(default) runs parser + mask shaping at half '
+                        'res and upsamples the soft blend mask — '
+                        '~3.5x cheaper parse stage, bounded boundary '
+                        'deviation (device_pipeline.py). The classic '
+                        'per-stage path always parses at 512.')
     p.add_argument('--quant', type=str, default=None,
                    choices=['int8'],
                    help='Quantized serving path for the restorer convs '

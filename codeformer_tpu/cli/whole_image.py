@@ -119,7 +119,8 @@ def run_whole_images(args, input_img_list, result_root, restorer,
             DeviceRestorePipeline
         pipe = DeviceRestorePipeline(
             restorer, face_helper, upscale=args.upscale, w=w,
-            only_center_face=args.only_center_face)
+            only_center_face=args.only_center_face,
+            parse_res=getattr(args, 'parse_res', 256))
         if input_video:
             # streaming: frames are pulled from the (lazy) source chunk
             # by chunk and written straight to the encoder — bounded

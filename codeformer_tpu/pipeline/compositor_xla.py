@@ -68,17 +68,27 @@ def _colormap_lookup(parse_ids: jax.Array) -> jax.Array:
 
 def _shape_parse_masks(parse_ids: jax.Array, face_size: int, n: int
                        ) -> jax.Array:
-    """parse ids (N,512,512) int32 -> soft parse masks (N,face,face,1)
+    """parse ids (N,res,res) int32 -> soft parse masks (N,face,face,1)
     in [0,1] (the reference's colormap + double 101-blur + edge zeroing,
-    face_restoration_helper.py:458-476), channel-packed for VPU width."""
-    pm = _pack(_colormap_lookup(parse_ids)[..., None])  # (1,512,512,N)
-    pm = gaussian_blur(pm, 101, 11)
-    pm = gaussian_blur(pm, 101, 11)
-    thres = 10
+    face_restoration_helper.py:458-476), channel-packed for VPU width.
+
+    res == 512 reproduces the reference exactly (kernel 101, sigma 11,
+    10px border). Other resolutions (device_pipeline parse_res) scale
+    kernel/sigma/border proportionally and bilinearly upsample the soft
+    mask — a bounded boundary-shift deviation, see
+    DeviceRestorePipeline.__init__ and tests/test_pipeline.py."""
+    res = parse_ids.shape[1]
+    s = res / 512.0
+    ksize = max(int(round(101 * s)) | 1, 3)
+    sigma = 11.0 * s
+    thres = max(int(round(10 * s)), 1)
+    pm = _pack(_colormap_lookup(parse_ids)[..., None])  # (1,res,res,N)
+    pm = gaussian_blur(pm, ksize, sigma)
+    pm = gaussian_blur(pm, ksize, sigma)
     pm = pm.at[:, :thres, :].set(0).at[:, -thres:, :].set(0)
     pm = pm.at[:, :, :thres].set(0).at[:, :, -thres:].set(0)
     pm = pm / 255.0
-    if face_size != 512:
+    if face_size != res:
         pm = jax.image.resize(pm, (1, face_size, face_size, n), 'linear')
     return _unpack(pm)
 

@@ -55,11 +55,17 @@ class DeviceRestorePipeline:
     and are shared with the classic per-stage path.
     """
 
+    #: rounds statically unrolled in the ROI composite (one warp+filter
+    #: group of C windows per round). Beyond this, fall back to the
+    #: single-group fori path (compile-size guard; >8 faces/frame).
+    MAX_UNROLL_ROUNDS = 8
+
     def __init__(self, restorer, face_helper, upscale: int = 2,
                  frame_chunk: int = 16, detect_resize: int = 640,
                  conf_threshold: float = 0.8,
                  eye_dist_threshold: Optional[float] = 5.0,
-                 only_center_face: bool = False, w: float = 0.5):
+                 only_center_face: bool = False, w: float = 0.5,
+                 parse_res: int = 256):
         from .detector import FaceDetector
         if not isinstance(face_helper.face_detector, FaceDetector):
             raise NotImplementedError(
@@ -76,6 +82,22 @@ class DeviceRestorePipeline:
         self.only_center_face = only_center_face
         self.w = w
         self.use_parse = face_helper.use_parse
+        # ParseNet evaluation resolution for the blend mask. 512 is the
+        # reference semantics (face_restoration_helper.py:459-470 runs
+        # the parser on the full 512^2 restored face). 256 (default)
+        # halves it: the parser + colormap + double-Gaussian shaping run
+        # at 256^2 (kernel/sigma/border scaled 101/11/10 -> 51/5.5/5)
+        # and the soft mask upsamples bilinearly to 512. The mask only
+        # clips an already-blurred soft blend (min(parse, square),
+        # compositor_xla.py), so the operator-level deviation is a
+        # boundary shift of ~2px at 512 scale under a >=49-tap blur —
+        # the same order as the documented edge-width quantization.
+        # ParseNet itself is fully convolutional; evaluating at 256
+        # shrinks its receptive-field-to-face ratio, which with released
+        # weights may move class boundaries slightly (unverifiable in
+        # this zero-egress environment — see docs/parity_runbook.md).
+        # Set parse_res=512 (CLI: --parse_res 512) for strict parity.
+        self.parse_res = int(parse_res) if face_helper.use_parse else 512
         self._graphs = {}
 
     # ------------------------------------------------------------------
@@ -109,16 +131,19 @@ class DeviceRestorePipeline:
 
     def _parse_body(self, m: int):
         model = self.helper._parse_model
+        res = self.parse_res
 
         def run(variables, faces_rgb_u8):
             x = faces_rgb_u8.astype(jnp.float32) / 127.5 - 1.0
+            if res != x.shape[1]:
+                x = jax.image.resize(x, (m, res, res, 3), 'linear')
             mask, _ = model.apply(variables, x)
             return jnp.argmax(mask, axis=-1).astype(jnp.int32)
 
         return run
 
     def _parse_graph(self, m: int):
-        key = ('parse', m)
+        key = ('parse', m, self.parse_res)
         if key not in self._graphs:
             self._graphs[key] = jax.jit(self._parse_body(m))
         return self._graphs[key]
@@ -140,12 +165,14 @@ class DeviceRestorePipeline:
         blur_size = w_edge * 2 + 1
         out_hw = (roi, roi) if roi else (hc, wc)
 
+        unroll = 0 < f <= self.MAX_UNROLL_ROUNDS
+
         def run(frames, restored_rgb, face_map, inv_affines, roi_pos,
                 pids):
             # frames (C,H,W,3) u8 BGR; restored_rgb (M,face,face,3) u8;
             # face_map (C*F,) indices into M; inv_affines (C*F,2,3) in
             # window-local coords; roi_pos (C*F,3) = (frame, y0, x0);
-            # pids (M,512,512) int32
+            # pids (M,pr,pr) int32 (pr = parse_res)
             from .compositor_xla import _pack, _shape_parse_masks, _unpack
             canv = jax.image.resize(frames.astype(jnp.float32),
                                     (c, h_up, w_up, 3), 'linear')
@@ -168,21 +195,27 @@ class DeviceRestorePipeline:
                 src = jnp.concatenate([restored_rgb, pm_u8], axis=-1)
             else:
                 src = restored_rgb
-            warped, inv_mask = warp_affine(src, inv_affines, out_hw,
-                                           return_coverage=True,
-                                           img_idx=face_map)
-            inv_restored = warped[..., 2::-1]  # RGB -> BGR
-            packed = _pack(inv_mask)
-            erosion1 = erode(packed, k_erode)
-            pasted = _unpack(erosion1) * inv_restored
-            inv_mask_center = erode(erosion1, erosion_radius)
-            inv_soft_mask = gaussian_blur(inv_mask_center, blur_size)
 
-            if use_parse:
-                inv_parse = _pack(warped[..., 3:4] / 255.0)
-                inv_soft_mask = jnp.where(inv_parse < inv_soft_mask,
-                                          inv_parse, inv_soft_mask)
-            soft = _unpack(inv_soft_mask)
+            def paste_pieces(sel):
+                """Warp + filter the (selected) window slots: returns
+                (soft blend weights, eroded pasted faces), each
+                (len(sel) or C*F, out_h, out_w, ...)."""
+                ia = inv_affines if sel is None else inv_affines[sel]
+                fm = face_map if sel is None else face_map[sel]
+                warped, inv_mask = warp_affine(src, ia, out_hw,
+                                               return_coverage=True,
+                                               img_idx=fm)
+                inv_restored = warped[..., 2::-1]  # RGB -> BGR
+                packed = _pack(inv_mask)
+                erosion1 = erode(packed, k_erode)
+                pasted = _unpack(erosion1) * inv_restored
+                inv_mask_center = erode(erosion1, erosion_radius)
+                inv_soft_mask = gaussian_blur(inv_mask_center, blur_size)
+                if use_parse:
+                    inv_parse = _pack(warped[..., 3:4] / 255.0)
+                    inv_soft_mask = jnp.where(inv_parse < inv_soft_mask,
+                                              inv_parse, inv_soft_mask)
+                return _unpack(inv_soft_mask), pasted
 
             if roi:
                 # Window blends with the reference's per-face overwrite
@@ -201,14 +234,34 @@ class DeviceRestorePipeline:
                         frame, sft * pst + (1 - sft) * patch,
                         (y0, x0, 0))
 
-                def round_body(k, acc):
-                    idxs = jnp.arange(c) * f + k
-                    return jax.vmap(blend_one)(
-                        acc, roi_pos[idxs, 1], roi_pos[idxs, 2],
-                        soft[idxs], pasted[idxs])
+                if unroll:
+                    # statically unrolled rounds, each warping/filtering
+                    # its OWN group of C windows: the gather stays below
+                    # the ~70MB corner-stack cliff where XLA's strategy
+                    # turns super-linear (one 64-slot gather measured
+                    # 10.6x the 16-slot cost at 4 faces/frame —
+                    # docs/roofline.md round 5). Identical math to the
+                    # single big group: slots are independent until the
+                    # blend, and the blend order is the same.
+                    out = canv
+                    for k in range(f):
+                        idxs = np.arange(c, dtype=np.int32) * f + k
+                        soft_k, pasted_k = paste_pieces(idxs)
+                        out = jax.vmap(blend_one)(
+                            out, roi_pos[idxs, 1], roi_pos[idxs, 2],
+                            soft_k, pasted_k)
+                else:
+                    soft, pasted = paste_pieces(None)
 
-                out = jax.lax.fori_loop(0, f, round_body, canv)
+                    def round_body(k, acc):
+                        idxs = jnp.arange(c) * f + k
+                        return jax.vmap(blend_one)(
+                            acc, roi_pos[idxs, 1], roi_pos[idxs, 2],
+                            soft[idxs], pasted[idxs])
+
+                    out = jax.lax.fori_loop(0, f, round_body, canv)
             else:
+                soft, pasted = paste_pieces(None)
                 pasted = pasted.reshape(c, f, hc, wc, 3)
                 soft = soft.reshape(c, f, hc, wc, 1)
 
@@ -240,7 +293,8 @@ class DeviceRestorePipeline:
         instead of four times, and XLA fuses across the old stage
         boundaries. Detection stays separate — its results feed the
         host-side affine solves between the two calls."""
-        key = ('merged', in_hw, c, m, fpf, face, w_edge, use_parse, roi)
+        key = ('merged', in_hw, c, m, fpf, face, w_edge, use_parse,
+               self.parse_res, roi)
         if key in self._graphs:
             return self._graphs[key]
         warp_run = self._warp_body(in_hw, m, face)
@@ -257,7 +311,7 @@ class DeviceRestorePipeline:
             if use_parse:
                 pids = parse_run(pvars, restored)
             else:
-                pids = jnp.zeros((m, face, face), jnp.int32)
+                pids = jnp.zeros((m, 1, 1), jnp.int32)
             out = comp_run(frames, restored, face_map, inv_affines,
                            roi_pos, pids)
             return out, faces_rgb, restored

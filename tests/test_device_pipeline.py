@@ -350,6 +350,84 @@ def test_device_pipeline_border_face(tiny_restorer):
     assert np.median(diff) <= 1.0
 
 
+def test_shape_parse_masks_halfres_close_to_fullres():
+    """_shape_parse_masks at res=256 (scaled kernel/sigma/border +
+    bilinear upsample) must stay within the documented boundary-shift
+    bound of the exact 512 reference shaping on the same geometry."""
+    import jax
+    from codeformer_tpu.pipeline.compositor_xla import _shape_parse_masks
+
+    yy, xx = np.mgrid[0:512, 0:512]
+    d = np.sqrt((yy - 255.5) ** 2 + (xx - 255.5) ** 2)
+    ids512 = (d < 180).astype(np.int32)  # class 1 = 'skin' (mask 255)
+    ids256 = np.asarray(jax.image.resize(
+        jnp.asarray(ids512, jnp.float32), (256, 256),
+        'nearest')).astype(np.int32)
+
+    m512 = np.asarray(_shape_parse_masks(
+        jnp.asarray(ids512)[None], 512, 1))[0, ..., 0]
+    m256 = np.asarray(_shape_parse_masks(
+        jnp.asarray(ids256)[None], 512, 1))[0, ..., 0]
+
+    assert m512.shape == m256.shape == (512, 512)
+    assert 0.0 <= m256.min() and m256.max() <= 1.0 + 1e-5
+    diff = np.abs(m512 - m256)
+    # soft blend weights in [0,1]: a ~2px boundary shift under the
+    # >=49-tap double blur keeps the pointwise error small and the
+    # mean error tiny
+    assert diff.mean() < 0.005, diff.mean()
+    assert diff.max() < 0.05, diff.max()
+
+
+class _StubParseModel:
+    """Resolution-covariant ParseNet stand-in: class 1 ('skin' in
+    MASK_COLORMAP, mask 255) inside a centered disc, class 0 outside.
+    The argmax ids are the same geometry at any parse resolution, so
+    the 256- and 512-res pipeline paths must closely agree."""
+
+    def apply(self, variables, x):
+        m, r = x.shape[0], x.shape[1]
+        yy, xx = jnp.mgrid[0:r, 0:r]
+        c = (r - 1) / 2.0
+        d = jnp.sqrt((yy - c) ** 2 + (xx - c) ** 2) / r
+        inside = (d < 0.35).astype(jnp.float32)
+        logits = jnp.stack([1.0 - inside, inside], axis=-1)
+        return jnp.broadcast_to(logits[None], (m, r, r, 2)), None
+
+
+@pytest.mark.slow
+def test_device_pipeline_parse_res_halfres_close(tiny_restorer):
+    """The fused pipeline with parse_res=256 (half-res ParseNet + mask
+    shaping, bilinear mask upsample) must closely match parse_res=512
+    (strict reference semantics) given a resolution-covariant parser."""
+    from codeformer_tpu.pipeline.device_pipeline import DeviceRestorePipeline
+
+    rng = np.random.default_rng(9)
+    frames = [rng.uniform(30, 220, (540, 720, 3)).astype(np.uint8)]
+
+    def helper():
+        h = _Helper(use_parse=True)
+        h._parse_model = _StubParseModel()
+        h._parse_vars = {}
+        return h
+
+    full = DeviceRestorePipeline(tiny_restorer, helper(), upscale=2,
+                                 frame_chunk=1, w=0.5, parse_res=512)
+    half = DeviceRestorePipeline(tiny_restorer, helper(), upscale=2,
+                                 frame_chunk=1, w=0.5, parse_res=256)
+    out_full = full.restore_frames(frames)[0]
+    out_half = half.restore_frames(frames)[0]
+
+    # graphs are keyed on parse_res (separate compiles, no cache mixup)
+    assert any(k[0] == 'merged' and 512 in k[1:] for k in full._graphs)
+    assert any(k[0] == 'merged' and 256 in k[1:] for k in half._graphs)
+
+    assert out_full.shape == out_half.shape
+    diff = np.abs(out_full.astype(np.float32) - out_half.astype(np.float32))
+    assert diff.mean() < 0.5, diff.mean()
+    assert np.median(diff) == 0.0
+
+
 def test_device_pipeline_fullcanvas_fallback(tiny_restorer):
     """A face as large as the frame forces the full-canvas composite
     path (ROI window would not fit); results must still match the
