@@ -39,6 +39,23 @@ def list_inputs(input_path: str, w: Optional[float] = None,
     return imgs, root, False
 
 
+def add_dtype_flag(p) -> None:
+    """--dtype for the restorer compute precision. bf16 is the TPU
+    serving default (MXU-native, quality-gated by tests); fp32 matches
+    the reference's numerics exactly — use it for quality audits
+    (scripts/parity_check.py --weights)."""
+    p.add_argument('--dtype', type=str, default='bf16',
+                   choices=['bf16', 'fp32'],
+                   help='Restorer compute dtype: bf16 (default, '
+                        'TPU-native) or fp32 (reference numerics, for '
+                        'quality parity audits).')
+
+
+def resolve_dtype(name: str):
+    import jax.numpy as jnp
+    return jnp.float32 if name == 'fp32' else jnp.bfloat16
+
+
 def resolve_checkpoint(explicit: Optional[str], task: str,
                        allow_random: bool) -> Optional[str]:
     """Find weights: explicit flag > weights/ convention (.pth or our

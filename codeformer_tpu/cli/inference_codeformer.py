@@ -17,7 +17,8 @@ import numpy as np
 
 from codeformer_tpu.pipeline import CodeFormerRestorer
 from codeformer_tpu.utils import img_util
-from .common import list_inputs, resolve_checkpoint
+from .common import (add_dtype_flag, list_inputs, resolve_checkpoint,
+                     resolve_dtype)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -85,6 +86,7 @@ def build_parser() -> argparse.ArgumentParser:
                         '~3.5x cheaper parse stage, bounded boundary '
                         'deviation (device_pipeline.py). The classic '
                         'per-stage path always parses at 512.')
+    add_dtype_flag(p)
     p.add_argument('--quant', type=str, default=None,
                    choices=['int8'],
                    help='Quantized serving path for the restorer convs '
@@ -152,7 +154,8 @@ def main(argv=None):
     restorer = CodeFormerRestorer(
         checkpoint=ckpt, dim_embd=512, codebook_size=1024, n_head=8,
         n_layers=9, connect_list=('32', '64', '128', '256'),
-        batch_buckets=(1, 2, 4, args.batch), quant=args.quant)
+        batch_buckets=(1, 2, 4, args.batch), quant=args.quant,
+        dtype=resolve_dtype(args.dtype))
 
     import contextlib
     trace_dir = os.environ.get('CODEFORMER_TPU_TRACE')

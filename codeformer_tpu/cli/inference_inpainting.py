@@ -13,7 +13,8 @@ import numpy as np
 
 from codeformer_tpu.pipeline import CodeFormerRestorer
 from codeformer_tpu.utils import img_util
-from .common import list_inputs, resolve_checkpoint
+from .common import (add_dtype_flag, list_inputs, resolve_checkpoint,
+                     resolve_dtype)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -28,6 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--checkpoint', type=str, default=None)
     p.add_argument('--random-init', action='store_true')
     p.add_argument('--batch', type=int, default=8)
+    add_dtype_flag(p)
     return p
 
 
@@ -47,7 +49,8 @@ def main(argv=None):
     restorer = CodeFormerRestorer(
         checkpoint=ckpt, dim_embd=512, codebook_size=512, n_head=8,
         n_layers=9, connect_list=('32', '64', '128'),
-        batch_buckets=(1, 2, 4, args.batch))
+        batch_buckets=(1, 2, 4, args.batch),
+        dtype=resolve_dtype(args.dtype))
 
     faces, names = [], []
     for i, img_path in enumerate(input_img_list):

@@ -199,10 +199,22 @@ class DeviceRestorePipeline:
             def paste_pieces(sel):
                 """Warp + filter the (selected) window slots: returns
                 (soft blend weights, eroded pasted faces), each
-                (len(sel) or C*F, out_h, out_w, ...)."""
-                ia = inv_affines if sel is None else inv_affines[sel]
-                fm = face_map if sel is None else face_map[sel]
-                warped, inv_mask = warp_affine(src, ia, out_hw,
+                (len(sel) or C*F, out_h, out_w, ...).
+
+                sel selects ONE slot per frame (a blend round). The
+                round's C source faces are materialized (a cheap
+                C*face^2 u8 copy) so the warp's corner stack covers C
+                faces, not all M: the stack is what crosses the ~70MB
+                cliff where XLA's gather strategy turns super-linear
+                (docs/roofline.md round 5 — slot-only grouping left the
+                M-face stack shared across rounds and bought ~nothing).
+                sel=None (single-group paths) keeps the img_idx gather
+                over the full M-face source."""
+                if sel is None:
+                    ia, fm, s = inv_affines, face_map, src
+                else:
+                    ia, fm, s = inv_affines[sel], None, src[face_map[sel]]
+                warped, inv_mask = warp_affine(s, ia, out_hw,
                                                return_coverage=True,
                                                img_idx=fm)
                 inv_restored = warped[..., 2::-1]  # RGB -> BGR

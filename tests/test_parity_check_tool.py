@@ -53,6 +53,41 @@ def test_parity_check_psnr_ssim_no_lpips(tmp_path, monkeypatch, capsys):
     assert 'LPIPS unavailable' in out or 'LPIPS mean' in out
 
 
+@pytest.mark.slow
+def test_parity_check_weights_mode_aligned(tmp_path, monkeypatch, capsys):
+    """The one-command gate (--weights DIR): synthetic golden weights ->
+    torch reference run -> .pth converter -> our CLI (fp32) -> metric
+    table. With identical weights the two stacks must closely agree;
+    configs whose weights are absent must be reported as skipped."""
+    from torch_ref import load_reference_archs
+
+    _, cf_arch = load_reference_archs()
+    torch.manual_seed(0)
+    net = cf_arch.CodeFormer(dim_embd=512, codebook_size=1024, n_head=8,
+                             n_layers=9,
+                             connect_list=['32', '64', '128', '256'])
+    wdir = tmp_path / 'weights' / 'CodeFormer'
+    wdir.mkdir(parents=True)
+    torch.save({'params_ema': net.state_dict()},
+               str(wdir / 'codeformer.pth'))
+
+    tool = _load_tool()
+    tool.main(['--weights', str(tmp_path / 'weights'),
+               '--configs', 'aligned', 'colorization',
+               '--limit', '1', '--out', str(tmp_path / 'out'),
+               '--dtype', 'fp32'])
+    out = capsys.readouterr().out
+    assert 'skipped (weights absent)' in out  # colorization row
+    row = [ln for ln in out.splitlines()
+           if ln.startswith('aligned')][-1]
+    psnr = float(row.split()[2])
+    assert psnr > 30.0, row
+    # both output trees exist with the CLI layouts
+    assert (tmp_path / 'out' / 'ref' / 'aligned').is_dir()
+    assert (tmp_path / 'out' / 'ours' / 'aligned'
+            / 'restored_faces').is_dir()
+
+
 def test_parity_check_with_synthetic_lpips(tmp_path, monkeypatch, capsys):
     """Full pipeline incl. LPIPS against a synthetic VGG16 + lin heads:
     identical pairs must score LPIPS ~0 (and PSNR inf)."""

@@ -66,7 +66,8 @@ def _fake_torchvision():
     mutils = types.ModuleType('torchvision.models._utils')
     tvutils = types.ModuleType('torchvision.utils')
 
-    def nms(boxes, scores, thr):
+    def nms(boxes, scores, iou_threshold):
+        thr = iou_threshold
         order = scores.argsort(descending=True)
         keep = []
         while order.numel() > 0:
@@ -232,6 +233,88 @@ def load_rrdbnet():
           f'{REF}/basicsr/archs/arch_util.py')
     return _load('basicsr.archs.rrdbnet_arch',
                  f'{REF}/basicsr/archs/rrdbnet_arch.py')
+
+
+def load_face_restoration_helper():
+    """Import the reference FaceRestoreHelper (detection + parsing +
+    cv2 paste-back) with the torchvision/basicsr stubs. Weights must
+    already exist under ./weights/facelib relative to the cwd (this
+    environment has zero egress, so the URL fetch path resolves to the
+    local file or raises)."""
+    import os
+    from urllib.parse import urlparse
+
+    import torch
+
+    _fake_torchvision()
+    _fake_basicsr()
+    tv = sys.modules['torchvision']
+    if 'torchvision.transforms' not in sys.modules:
+        transforms = types.ModuleType('torchvision.transforms')
+        tfunc = types.ModuleType('torchvision.transforms.functional')
+
+        def normalize(t, mean, std, inplace=False):
+            if not inplace:
+                t = t.clone()
+            m = torch.as_tensor(mean, dtype=t.dtype).view(-1, 1, 1)
+            s = torch.as_tensor(std, dtype=t.dtype).view(-1, 1, 1)
+            return t.sub_(m).div_(s)
+
+        tfunc.normalize = normalize
+        transforms.functional = tfunc
+        sys.modules['torchvision.transforms'] = transforms
+        sys.modules['torchvision.transforms.functional'] = tfunc
+        tv.transforms = transforms
+    utils_mod = sys.modules['basicsr.utils']
+    if 'basicsr.utils.misc' not in sys.modules:
+        misc = types.ModuleType('basicsr.utils.misc')
+        misc.get_device = lambda *a, **k: torch.device('cpu')
+        misc.get_root_logger = lambda *a, **k: logging.getLogger('ref')
+        sys.modules['basicsr.utils.misc'] = misc
+        utils_mod.misc = misc
+    if 'basicsr.utils.download_util' not in sys.modules:
+        du = types.ModuleType('basicsr.utils.download_util')
+
+        def load_file_from_url(url, model_dir=None, progress=True,
+                               file_name=None):
+            fname = file_name or os.path.basename(urlparse(url).path)
+            path = os.path.abspath(os.path.join(model_dir or '.', fname))
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f'{path} not found and this environment has no '
+                    f'egress (wanted {url})')
+            return path
+
+        du.load_file_from_url = load_file_from_url
+        sys.modules['basicsr.utils.download_util'] = du
+        utils_mod.download_util = du
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import facelib.utils.face_restoration_helper as frh
+
+    # facelib.utils.misc.load_file_from_url anchors model_dir at the
+    # REFERENCE repo root (misc.py ROOT_DIR) and downloads on miss;
+    # /root/reference is read-only and this environment has no egress.
+    # Point it at ./weights relative to the cwd instead (parity_check's
+    # weights_cwd) and fail loudly when the file is absent.
+    def _local_load_file_from_url(url, model_dir=None, progress=True,
+                                  file_name=None, save_dir=None):
+        fname = file_name or os.path.basename(urlparse(url).path)
+        path = os.path.abspath(os.path.join(save_dir or model_dir or '.',
+                                            fname))
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f'{path} not found and this environment has no egress '
+                f'(wanted {url})')
+        return path
+
+    import facelib.detection as fdet
+    import facelib.parsing as fpar
+    import facelib.utils.misc as fmisc
+    for mod in (fmisc, fdet, fpar, frh):
+        if hasattr(mod, 'load_file_from_url'):
+            mod.load_file_from_url = _local_load_file_from_url
+    return frh
 
 
 def load_reference_archs():
