@@ -340,3 +340,26 @@ def test_decoder_tail_interpret_parity(rng, interpret_mode):
     assert got.shape == (b, 2 * h, 2 * w, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_conv3x3_imgpair_exact(rng):
+    """Image-pair weight-stationary kernel (ops/imgpair_conv): exact
+    3x3 SAME conv through the Pallas interpreter, even and odd batch
+    (VERDICT r4 item 4's named design — see roofline round-5 serving
+    section for the on-chip verdict)."""
+    from jax import lax
+
+    from codeformer_tpu.ops.imgpair_conv import TX, TY, conv3x3_pair
+
+    h, w, c = 2 * TY, TX, 16
+    k = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    for b in (4, 3):
+        x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+        dn = lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+        ref = lax.conv_general_dilated(x, k, (1, 1), 'SAME',
+                                       dimension_numbers=dn) + bias
+        got = conv3x3_pair(x, k, bias, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
