@@ -84,6 +84,19 @@ class CodeFormer(VQAutoEncoder):
         `enable_fuse` is the static analog of the reference's `w > 0` gate —
         pass False to skip SFT fusion entirely (e.g. colorization, w=0).
         """
+        trunk = self._trunk(x, detach_16=detach_16, adain=adain,
+                            code_only=code_only)
+        if code_only:  # training stage II
+            return trunk[1], trunk[2]
+        quant_feat, logits, lq_feat, enc_feat_dict = trunk
+        fuse_fns = self._fuse_fns(enc_feat_dict, w) if enable_fuse else {}
+        out = self.generator(quant_feat, fuse_fns=fuse_fns)
+        return out, logits, lq_feat
+
+    def _trunk(self, x, detach_16: bool, adain: bool,
+               code_only: bool = False):
+        """Encoder + transformer + quantization — everything before the
+        generator (shared by __call__ and the staged-split methods)."""
         # ---------------- Encoder with feature taps ----------------
         tap_by_size = self.encoder.tap_by_size
         tap_indices = [tap_by_size[s] for s in self.connect_list]
@@ -100,8 +113,8 @@ class CodeFormer(VQAutoEncoder):
 
         logits = self.idx_pred_proj(self.idx_pred_norm(query))  # (B, S, K)
 
-        if code_only:  # training stage II
-            return logits, lq_feat
+        if code_only:  # training stage II: generator untouched
+            return None, logits, lq_feat, None
 
         # ---------------- Quantization (argmax code selection) -----------
         top_idx = jnp.argmax(logits, axis=-1)  # == softmax→top-1
@@ -112,18 +125,74 @@ class CodeFormer(VQAutoEncoder):
             quant_feat = jax.lax.stop_gradient(quant_feat)
         if adain:
             quant_feat = adaptive_instance_normalization(quant_feat, lq_feat)
+        return quant_feat, logits, lq_feat, enc_feat_dict
 
-        # ---------------- Generator with SFT fusion ----------------------
+    def _fuse_fns(self, enc_feat_dict, w, skip=None):
+        """Generator-tap -> SFT fusion closures (skip: connect size to
+        leave out — the staged split's anchor fuse)."""
+        gen_taps = self.generator.tap_by_size
         fuse_fns = {}
-        if enable_fuse:
-            gen_taps = self.generator.tap_by_size
-            for f_size in self.connect_list:
-                fuse = self.fuse_convs_dict[f_size]
-                enc = jax.lax.stop_gradient(enc_feat_dict[f_size])
-                fuse_fns[gen_taps[f_size]] = (
-                    lambda dec, fuse=fuse, enc=enc: fuse(enc, dec, w))
-        out = self.generator(quant_feat, fuse_fns=fuse_fns)
-        return out, logits, lq_feat
+        for f_size in self.connect_list:
+            if f_size == skip:
+                continue
+            fuse = self.fuse_convs_dict[f_size]
+            enc = jax.lax.stop_gradient(enc_feat_dict[f_size])
+            fuse_fns[gen_taps[f_size]] = (
+                lambda dec, fuse=fuse, enc=enc: fuse(enc, dec, w))
+        return fuse_fns
+
+    # ------------------------------------------------------------------
+    # Staged-apply split (training): the adaptive-d-weight anchor's grad
+    # probes and the combined backward share the expensive decoder-tail
+    # transpose by evaluating the model in three segments around the
+    # anchor op (train/trainers.py micro_single_staged; exactness by the
+    # chain rule — tested against the single-backward step).
+    #   anchor_size = largest connect size (fix_generator: the anchor is
+    #   that FuseSftBlock, codeformer_joint_model.py:107-113) or None
+    #   (trainable generator: the anchor is the final conv).
+    # ------------------------------------------------------------------
+    def split_point(self, anchor_size=None) -> int:
+        """Static generator block index the split tail starts at."""
+        if anchor_size is None:
+            return len(self.generator.blocks) - 1
+        return self.generator.tap_by_size[anchor_size] + 1
+
+    def forward_body(self, x, w=0.0, detach_16: bool = True,
+                     anchor_size=None):
+        """Everything up to the anchor op's input. Returns
+        (z_pre, logits, lq_feat, enc_anchor)."""
+        quant_feat, logits, lq_feat, enc_feat_dict = self._trunk(
+            x, detach_16=detach_16, adain=False)
+        stop = self.split_point(anchor_size)
+        if anchor_size is None:
+            fuse_fns = self._fuse_fns(enc_feat_dict, w)
+            enc_a = jnp.zeros((), lq_feat.dtype)
+            z_pre = self.generator(quant_feat, fuse_fns=fuse_fns,
+                                   stop_before=stop)
+        else:
+            # body stops AFTER the tap block but BEFORE its fuse — the
+            # fuse IS the anchor op
+            fuse_fns = self._fuse_fns(enc_feat_dict, w, skip=anchor_size)
+            enc_a = jax.lax.stop_gradient(enc_feat_dict[anchor_size])
+            z_pre = self.generator(quant_feat, fuse_fns=fuse_fns,
+                                   stop_before=stop)
+        return z_pre, logits, lq_feat, enc_a
+
+    def apply_split_anchor(self, z_pre, enc_a, w, anchor_size=None):
+        """The anchor op alone: the anchor-size FuseSftBlock, or the
+        generator's final conv."""
+        if anchor_size is None:
+            return self.generator(z_pre,
+                                  start=len(self.generator.blocks) - 1)
+        return self.fuse_convs_dict[anchor_size](enc_a, z_pre, w)
+
+    def decode_split_tail(self, a, anchor_size=None):
+        """Generator blocks after the anchor (parameter-frozen in every
+        configuration that selects a fuse anchor; identity for the
+        final-conv anchor)."""
+        if anchor_size is None:
+            return a
+        return self.generator(a, start=self.split_point(anchor_size))
 
 
 def position_embedding_sine(shape_bhw: Tuple[int, int, int],

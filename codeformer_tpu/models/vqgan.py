@@ -281,17 +281,27 @@ class Generator(nn.Module):
             self.resolution, tuple(self.attn_resolutions), self.out_channels,
             self.dtype, remat=self.remat)
 
-    def __call__(self, x: jax.Array, fuse_fns: Optional[Dict] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, fuse_fns: Optional[Dict] = None,
+                 start: int = 0,
+                 stop_before: Optional[int] = None) -> jax.Array:
+        """start/stop_before: run only blocks[start:stop_before] — the
+        trainers' staged-apply split evaluates the decoder in two
+        segments around the adaptive-d-weight anchor (train/trainers.py
+        micro_single_staged) so the anchor probes' tail backward is not
+        re-walked by the combined pull. Defaults run the whole
+        decoder."""
         fuse_fns = fuse_fns or {}
         # NOTE: no bare run_resblocks here — a packed run sandwiched
         # between XLA ops loses ~11 ms to boundary relayouts (measured,
         # 512² B=16); only the full packed tail enclave wins.
-        i = 0
-        while i < len(self.blocks):
-            x, handled = run_decoder_tail(self.blocks, i, x,
-                                          fuse_fns=fuse_fns)
-            if handled:                 # packed enclave ran to the end
-                return x
+        i = start
+        stop = len(self.blocks) if stop_before is None else stop_before
+        while i < stop:
+            if stop_before is None:  # enclave runs to the END: whole-
+                x, handled = run_decoder_tail(self.blocks, i, x,
+                                              fuse_fns=fuse_fns)
+                if handled:          # decoder calls only
+                    return x
             x = self.blocks[i](x)
             if i in fuse_fns:
                 x = fuse_fns[i](x)

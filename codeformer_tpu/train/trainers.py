@@ -1135,11 +1135,13 @@ class CodeFormerJointModel(BaseTrainer):
         if self.fix_generator:
             self._anchor = (f'fuse_convs_dict_{largest}', 'shift_2',
                             'kernel')
+            self._anchor_size = largest  # staged split: fuse anchor
         else:
             last = max(int(k.split('_')[1])
                        for k in params_g['generator']
                        if k.startswith('blocks_'))
             self._anchor = ('generator', f'blocks_{last}', 'kernel')
+            self._anchor_size = None     # staged split: final-conv anchor
 
         self._step_full = self._jit_step(self._make_full_step())
         self._step_code = self._jit_step(self._make_code_step())
@@ -1239,42 +1241,108 @@ class CodeFormerJointModel(BaseTrainer):
                                       idx_gt=mb_idx, w=w),
                     p_train, has_aux=True)
 
-            def d_weight_of(vjp_fn):
-                """Adaptive GAN weight from the anchor-leaf grad-norm
-                ratio (calculate_adaptive_weight,
-                codeformer_joint_model.py:107-113). Each pull's result
-                is used ONLY at the anchor leaf, so XLA dead-code-
-                eliminates everything upstream of the anchor: the pull
-                costs the decoder-tail + loss-head backward, not a full
-                backward (measured, docs/roofline.md)."""
-                leaf_m = _get_leaf(vjp_fn((1.0, 0.0))[0], self._anchor)
-                leaf_g = _get_leaf(vjp_fn((0.0, 1.0))[0], self._anchor)
-                d_weight = _l2norm(leaf_m) / (_l2norm(leaf_g) + 1e-4)
-                return jnp.clip(d_weight, 0.0, 1.0) \
-                    * self.scale_adaptive_gan_weight
-
             def d_step_of(d_stats_chain, mb, out):
                 return jax.value_and_grad(
                     self._d_loss_fn, has_aux=True)(
                         state.params_d, d_stats_chain, mb['gt'],
                         jax.lax.stop_gradient(out))
 
+            anchor_size = self._anchor_size
+
             def micro_single(d_stats_chain, mb):
-                """accum==1 path — the reference's own backward
-                structure (codeformer_joint_model.py:208-225): two
-                anchor-only grad probes, then ONE full backward of
-                l_g_total = main + d_weight*l_g_gan via the combined
-                cotangent (1, d_weight). Mathematically identical to
-                combining two full pulls (the vjp is linear in the
-                cotangent) at ~half the backward cost."""
-                (vals, vjp_fn, aux) = micro_vjp(mb)
-                main, l_gan = vals
-                d_weight = d_weight_of(vjp_fn)
-                grads = vjp_fn((jnp.float32(1.0), d_weight * gan_on))[0]
+                """accum==1 path — staged-apply split of the reference's
+                backward structure (codeformer_joint_model.py:208-225).
+                The model evaluates in three segments around the
+                adaptive-d-weight anchor op (models/codeformer.py
+                forward_body / apply_split_anchor / decode_split_tail):
+                the expensive decoder-tail + loss-head transpose runs
+                exactly TWICE (once per probe cotangent, each kept as a
+                full anchor-input cotangent instead of being DCE'd away)
+                and the combined pull reuses them by linearity — the
+                round-4 single-backward scheme walked that tail a third
+                time inside the combined full backward (~17 ms/step at
+                B=1, docs/roofline.md). Only the anchor op itself (one
+                fuse block or the final conv) re-runs per cotangent.
+                Mathematically identical by the chain rule; tested
+                against a two-full-pull step in tests/test_training.py.
+                The tail holds no trainable params in either anchor
+                configuration (fix_generator -> generator frozen;
+                trainable generator -> tail is the identity)."""
+                mb_idx = self._idx_gt(vqgan_params, mb['gt'], mb)
+
+                def body_fn(p_t):
+                    params_g = {**p_t, **frozen}
+                    z_pre, logits, lq_feat, enc_a = self.net_g.apply(
+                        {'params': params_g}, mb['in'], w,
+                        detach_16=True, anchor_size=anchor_size,
+                        method='forward_body')
+                    code_total, m = self._code_losses(
+                        params_g, logits, lq_feat, mb_idx)
+                    return (z_pre, enc_a,
+                            jnp.float32(0.0) + code_total), m
+
+                ((z_pre, enc_a, code_total), body_vjp,
+                 code_metrics) = jax.vjp(body_fn, p_train, has_aux=True)
+
+                def anchor_fn(p_t, z):
+                    params_g = {**p_t, **frozen}
+                    return self.net_g.apply(
+                        {'params': params_g}, z, enc_a, w,
+                        anchor_size=anchor_size,
+                        method='apply_split_anchor')
+
+                a, anchor_vjp = jax.vjp(anchor_fn, p_train, z_pre)
+
+                def tail_fn(a_in):
+                    params_g = {**p_train, **frozen}  # constants here
+                    out = self.net_g.apply(
+                        {'params': params_g}, a_in,
+                        anchor_size=anchor_size,
+                        method='decode_split_tail')
+                    l_pix = self._pixel_loss(out, mb['gt'])
+                    l_percep = (self.cri_perceptual(out, mb['gt'])
+                                if self.cri_perceptual else 0.0)
+                    fake_pred = self.net_d.apply(
+                        {'params': state.params_d,
+                         'batch_stats': state.d_stats}, out, train=False)
+                    l_gan = self._gan_loss(fake_pred, True, is_disc=False)
+                    m = {'l_g_pix': l_pix, 'out': out}
+                    if self.cri_perceptual:
+                        m['l_g_percep'] = l_percep
+                    return (l_pix + l_percep, l_gan), m
+
+                ((recon, l_gan), tail_vjp, aux) = jax.vjp(
+                    tail_fn, a, has_aux=True)
+                main = code_total + recon
+
+                # anchor-input cotangents: the ONLY two tail transposes
+                (ca_main,) = tail_vjp((jnp.float32(1.0), jnp.float32(0.0)))
+                (ca_gan,) = tail_vjp((jnp.float32(0.0), jnp.float32(1.0)))
+                leaf_m = _get_leaf(anchor_vjp(ca_main)[0], self._anchor)
+                leaf_g = _get_leaf(anchor_vjp(ca_gan)[0], self._anchor)
+                d_weight = _l2norm(leaf_m) / (_l2norm(leaf_g) + 1e-4)
+                d_weight = jnp.clip(d_weight, 0.0, 1.0) \
+                    * self.scale_adaptive_gan_weight
+
+                # combine in f32, cast back to the tail dtype (bf16
+                # mixed precision keeps cotangents in the compute dtype)
+                ca = jax.tree.map(
+                    lambda m_, g_: (m_.astype(jnp.float32)
+                                    + d_weight * gan_on
+                                    * g_.astype(jnp.float32)
+                                    ).astype(m_.dtype),
+                    ca_main, ca_gan)
+                g_anchor, cz = anchor_vjp(ca)
+                g_body = body_vjp((cz, jnp.zeros_like(enc_a),
+                                   jnp.float32(1.0)))[0]
+                grads = jax.tree.map(lambda b_, a_: b_ + a_,
+                                     g_body, g_anchor)
+
                 (_, (new_stats, d_aux)), d_grads = d_step_of(
                     d_stats_chain, mb, aux.pop('out'))
                 scalars = {'_main': main, '_l_gan': l_gan,
-                           '_d_weight': d_weight, **aux, **d_aux}
+                           '_d_weight': d_weight, **code_metrics,
+                           **aux, **d_aux}
                 return new_stats, (grads, d_grads, scalars)
 
             def micro(d_stats_chain, mb):

@@ -403,6 +403,55 @@ def test_grad_accum_joint_gan(tmp_path, tiny_dataset):
     assert frac > 0.9, f'only {frac:.3f} of param entries match'
 
 
+@pytest.mark.slow
+def test_staged_split_final_conv_anchor(tmp_path, tiny_dataset):
+    """Staged-apply split with a TRAINABLE generator: the adaptive
+    d-weight anchor is the generator's final conv (anchor_size=None),
+    the split tail is the identity, and the accum=1 staged step must
+    match the accum=2 two-full-pull step (which computes d_weight from
+    post-accumulation anchor grads == the full-batch grads). The fuse
+    anchor variant is covered by test_grad_accum_joint_gan."""
+    from codeformer_tpu.data import build_dataset
+    from codeformer_tpu.data.loader import build_dataloader
+    from codeformer_tpu.train.trainers import build_model
+
+    def run(accum, name):
+        opt = _base_opt(tmp_path, name, tiny_dataset)
+        opt['model_type'] = 'CodeFormerJointModel'
+        opt['network_g'] = dict(TINY_CF, fix_modules=['quantize'])
+        opt['network_vqgan'] = dict(TINY_VQGAN)
+        opt['network_d'] = {'type': 'VQGANDiscriminator', 'nc': 3,
+                            'ndf': 32, 'n_layers': 2}
+        opt['train']['scale_adaptive_gan_weight'] = 0.1
+        opt['train']['net_d_start_iter'] = 0
+        opt['train']['accum_steps'] = accum
+        ds_opt = opt['datasets']['train']
+        ds_opt['type'] = 'FFHQBlindJointDataset'
+        ds_opt['seed'] = 7
+        ds_opt.update(blur_sigma_large=[1, 15],
+                      downsample_range_large=[4, 16],
+                      noise_range_large=[0, 20],
+                      jpeg_range_large=[30, 80])
+        model = build_model(opt)
+        assert model._anchor_size is None  # final-conv anchor selected
+        assert model._anchor[0] == 'generator'
+        ds = build_dataset(ds_opt)
+        loader = build_dataloader(ds, ds_opt)
+        model.feed_data(_make_batches(loader, 1)[0])
+        model.optimize_parameters(1)
+        return model
+
+    m1 = run(1, 'fcanchor1')
+    m2 = run(2, 'fcanchor2')
+    assert all(np.isfinite(v) for v in m1.log_dict.values()), m1.log_dict
+    np.testing.assert_allclose(m2.log_dict['d_weight'],
+                               m1.log_dict['d_weight'], rtol=1e-3)
+    np.testing.assert_allclose(m2.log_dict['l_g_total'],
+                               m1.log_dict['l_g_total'], rtol=1e-4)
+    frac = _params_match_fraction(m1.state.params_g, m2.state.params_g)
+    assert frac > 0.9, f'only {frac:.3f} of param entries match'
+
+
 def test_grad_accum_rejects_bad_values(tmp_path, tiny_dataset):
     from codeformer_tpu.train.trainers import build_model
     opt = _base_opt(tmp_path, 'accum_bad', tiny_dataset)
